@@ -1,0 +1,233 @@
+"""Model / engine / sampling configuration.
+
+Mirrors the capability of the reference's config tier (reference:
+src/models/llama/llama_params.h:3-21 ``LlamaAttentionStaticParams`` /
+``LlamaAttentionDynamicParams``, src/models/llama/llama_config.json,
+src/utils/model_utils.h:22-41 JSON loading) — redesigned as frozen dataclasses
+so every field is a static, hashable jit constant. The reference's "dynamic"
+params (batch size, seq lens) become *runtime array contents* here, never
+shapes: XLA traces once per (ModelConfig, EngineConfig).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+__all__ = [
+    "ModelConfig",
+    "EngineConfig",
+    "SamplingParams",
+    "PRESETS",
+    "get_config",
+]
+
+
+def _dtype_from_str(name: str):
+    return {
+        "float32": jnp.float32,
+        "fp32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+        "float16": jnp.float16,
+        "fp16": jnp.float16,
+    }[name]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture description of a Llama-class decoder-only model.
+
+    Field parity with the reference's llama_config.json:1-16 (head_num,
+    kv_head_num, head_size, inter_size, num_layers, vocab_size, rope params,
+    max_seq_len) — plus fields the reference hardcoded (rms eps, tying).
+    """
+
+    name: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[float] = None  # linear position scale (dynamic NTK hook)
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    dtype_name: str = "bfloat16"  # parameter / activation dtype
+
+    @property
+    def dtype(self):
+        return _dtype_from_str(self.dtype_name)
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def qkv_size(self) -> int:
+        # packed QKV projection output, fused exactly like the reference's
+        # single qkv weight (reference: src/weights/llama/layer_weights.cpp:28)
+        return self.q_size + 2 * self.kv_size
+
+    @property
+    def group_size(self) -> int:
+        """Number of query heads sharing one KV head (GQA group)."""
+        assert self.num_heads % self.num_kv_heads == 0
+        return self.num_heads // self.num_kv_heads
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def from_json(path: str) -> "ModelConfig":
+        """Load from a JSON file.
+
+        Accepts both this package's field names and HF ``config.json`` names
+        (the reference instead read its own llama_config.json with keys like
+        head_num / inter_size, src/utils/model_utils.h:24-38; we accept those
+        too for parity).
+        """
+        with open(path) as f:
+            raw = json.load(f)
+        return ModelConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "ModelConfig":
+        alias = {
+            # HF config.json names
+            "num_hidden_layers": "num_layers",
+            "num_attention_heads": "num_heads",
+            "num_key_value_heads": "num_kv_heads",
+            "rms_norm_eps": "rms_norm_eps",
+            # reference llama_config.json names (src/models/llama/llama_config.json)
+            "head_num": "num_heads",
+            "kv_head_num": "num_kv_heads",
+            "head_size": "head_dim",
+            "inter_size": "intermediate_size",
+            "inter_dim": "intermediate_size",
+            "num_layer": "num_layers",
+            "rope_base": "rope_theta",
+            "max_seq_len": "max_position_embeddings",
+            "hidden_units": "hidden_size",
+        }
+        fields = {f.name for f in dataclasses.fields(ModelConfig)}
+        kw: dict[str, Any] = {}
+        for k, v in raw.items():
+            k = alias.get(k, k)
+            if k in fields:
+                kw[k] = v
+        cfg = ModelConfig(**kw)
+        # The reference's own config carries hidden_units=128 (wrong) and the
+        # code recomputes hidden = head_num * head_size (llama.h:106). Apply the
+        # same guard: trust heads * head_dim when hidden_size is inconsistent.
+        if cfg.hidden_size != cfg.num_heads * cfg.head_dim and "head_num" in raw:
+            cfg = cfg.replace(hidden_size=cfg.num_heads * cfg.head_dim)
+        return cfg
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static runtime/engine shape configuration.
+
+    Replaces the reference's hardcoded runtime limits (batch size pinned to 1,
+    llama.h:31; output cap 20 tokens, llama.h:26; max_seq_len 64,
+    llama_config.json:8) with explicit, configurable static bounds.
+    """
+
+    max_batch_size: int = 8          # decode batch slots (continuous batching)
+    max_prefill_batch: int = 1       # sequences prefilled per prefill call
+    max_seq_len: int = 2048          # KV cache capacity per slot
+    max_prefill_len: int = 512       # per-chunk prefill length (chunked prefill)
+    kv_cache_dtype_name: str = ""    # "" = same as model dtype; "int8" = quantized
+    quant_mode: str = "none"         # none | int8 | int4  (weight-only)
+    quant_group_size: int = 128      # int4 grouped-scale group size
+    # parallelism (mesh shape); data * model must equal #devices used
+    dp: int = 1
+    tp: int = 1
+    # kernel selection: "pallas" on TPU, "xla" pure-jnp fallback, "auto" picks
+    kernels: str = "auto"
+    # pallas attention block sizes
+    block_q: int = 256
+    block_kv: int = 256
+    decode_block_kv: int = 256
+
+    @property
+    def kv_cache_dtype(self):
+        if self.kv_cache_dtype_name in ("", "none"):
+            return None
+        if self.kv_cache_dtype_name == "int8":
+            return jnp.int8
+        return _dtype_from_str(self.kv_cache_dtype_name)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling configuration.
+
+    The reference samples from the softmax of the top-K logits with K
+    hardcoded (5 in the launcher topk.cu:118, 4 in the model llama.h:42) and a
+    per-step seeded curand draw (sampling.cu:44-63). Here K, temperature,
+    top-p and greedy mode are all runtime-selectable.
+    """
+
+    temperature: float = 1.0
+    top_k: int = 5
+    top_p: float = 1.0
+    greedy: bool = False
+    max_new_tokens: int = 256
+    stop_token_ids: tuple[int, ...] = ()
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+PRESETS: dict[str, ModelConfig] = {
+    # the model the reference targets (llama_config.json:1-16)
+    "llama2-7b": ModelConfig(
+        name="llama2-7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=11008, num_layers=32, num_heads=32, num_kv_heads=32,
+        head_dim=128, rope_theta=10000.0, max_position_embeddings=4096,
+    ),
+    "llama2-13b": ModelConfig(
+        name="llama2-13b", vocab_size=32000, hidden_size=5120,
+        intermediate_size=13824, num_layers=40, num_heads=40, num_kv_heads=40,
+        head_dim=128, rope_theta=10000.0, max_position_embeddings=4096,
+    ),
+    "tinyllama-1.1b": ModelConfig(
+        name="tinyllama-1.1b", vocab_size=32000, hidden_size=2048,
+        intermediate_size=5632, num_layers=22, num_heads=32, num_kv_heads=4,
+        head_dim=64, rope_theta=10000.0, max_position_embeddings=2048,
+    ),
+    "llama3-8b": ModelConfig(
+        name="llama3-8b", vocab_size=128256, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=500000.0, max_position_embeddings=8192,
+    ),
+    # tiny debug model for tests (CPU-friendly)
+    "debug": ModelConfig(
+        name="debug", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        rope_theta=10000.0, max_position_embeddings=128,
+        dtype_name="float32",
+    ),
+}
+
+
+def get_config(name: str) -> ModelConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown model preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]

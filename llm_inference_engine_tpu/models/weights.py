@@ -1,0 +1,250 @@
+"""Parameter pytrees: definition, dummy init, checkpoint loading, quantization.
+
+Capability parity with the reference's weight tier (src/weights/):
+- fused storage layout: one packed QKV matrix per layer and one packed
+  gate|up matrix (reference: src/weights/llama/layer_weights.cpp:28,43) —
+  fewer, larger MXU matmuls;
+- dummy-weight fixture for tests/examples without a checkpoint
+  (reference: layer_weights.cpp:83-156, llama_weights.cpp:78-128);
+- checkpoint loading with dtype cast on load (reference:
+  src/utils/weight_utils.cu:189-229 raw .bin reader + typeConversion cast
+  kernel; here: HF safetensors -> jnp with astype, plus a reader for the
+  reference's own per-tensor .bin naming scheme,
+  layer_weights.cpp:64-69 / llama_weights.cpp:50-75);
+- INT8/INT4 quantized storage (QuantizedTensor leaves) — the reference's
+  declared-but-unbuilt WeightType::INT8_W (base_weights.h:10).
+
+Layout conventions:
+- every matmul weight is [in, out] (canonicalized at load from HF's
+  [out, in]; the reference instead carried is_transposed flags);
+- per-layer weights are stacked on a leading [num_layers, ...] axis so the
+  decoder runs as one `lax.scan` (single compiled layer body).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_inference_engine_tpu.config import ModelConfig
+from llm_inference_engine_tpu.ops.quant import QuantizedTensor, quantize_tensor
+
+__all__ = [
+    "init_dummy_params",
+    "quantize_params",
+    "load_hf_safetensors",
+    "load_reference_bin",
+    "param_count",
+    "param_bytes",
+]
+
+Params = dict  # {'embed', 'layers': {...}, 'final_norm', 'lm_head'}
+
+
+def init_dummy_params(config: ModelConfig, seed: int = 0,
+                      scale: float = 0.02) -> Params:
+    """Random dummy weights (the reference's loadWeightsFromDummy fixture,
+    layer_weights.cpp:83-156). Deterministic per seed."""
+    L = config.num_layers
+    Hd = config.hidden_size
+    dtype = config.dtype
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 6)
+
+    def norm_init(shape):
+        return jnp.ones(shape, dtype)
+
+    def w_init(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    params = {
+        "embed": w_init(ks[0], (config.vocab_size, Hd)),
+        "layers": {
+            "attn_norm": norm_init((L, Hd)),
+            "wqkv": w_init(ks[1], (L, Hd, config.qkv_size)),
+            "wo": w_init(ks[2], (L, config.q_size, Hd)),
+            "ffn_norm": norm_init((L, Hd)),
+            "w_gate_up": w_init(ks[3], (L, Hd, 2 * config.intermediate_size)),
+            "w_down": w_init(ks[4], (L, config.intermediate_size, Hd)),
+        },
+        "final_norm": norm_init((Hd,)),
+        "lm_head": w_init(ks[5], (Hd, config.vocab_size)),
+    }
+    return params
+
+
+_QUANT_KEYS = ("wqkv", "wo", "w_gate_up", "w_down")
+
+
+def quantize_params(params: Params, mode: str = "int8",
+                    group_size: int = 128,
+                    quantize_lm_head: bool = True) -> Params:
+    """Quantize every matmul weight (stacked per-layer: quantized layer by
+    layer, scales stacked on the same leading axis)."""
+    if mode in ("none", None, ""):
+        return params
+    out = {"embed": params["embed"], "final_norm": params["final_norm"]}
+    layers = dict(params["layers"])
+    for name in _QUANT_KEYS:
+        w = layers[name]  # [L, in, out]
+        qs, ss = [], []
+        for l in range(w.shape[0]):
+            t = quantize_tensor(w[l], mode, group_size)
+            qs.append(t.q)
+            ss.append(t.scale)
+        layers[name] = QuantizedTensor(
+            q=jnp.stack(qs), scale=jnp.stack(ss), mode=mode,
+            group_size=group_size)
+    out["layers"] = layers
+    if quantize_lm_head:
+        out["lm_head"] = quantize_tensor(params["lm_head"], mode, group_size)
+    else:
+        out["lm_head"] = params["lm_head"]
+    return out
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def param_bytes(params: Params) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint loading (safetensors)
+# ---------------------------------------------------------------------------
+
+def _hf_tensor_reader(path: str) -> Callable[[str], np.ndarray]:
+    """Returns name -> np.ndarray over all *.safetensors files in a dir."""
+    from safetensors import safe_open
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    index: dict[str, str] = {}
+    for f in files:
+        with safe_open(f, framework="np") as sf:
+            for name in sf.keys():
+                index[name] = f
+
+    def read(name: str) -> np.ndarray:
+        with safe_open(index[name], framework="np") as sf:
+            return sf.get_tensor(name)
+
+    read.names = set(index)  # type: ignore[attr-defined]
+    return read
+
+
+def load_hf_safetensors(config: ModelConfig, path: str,
+                        dtype: Any = None) -> Params:
+    """Load a HF-format Llama checkpoint directory into the fused layout.
+
+    Performs the fusions the reference's export script performed offline
+    (q|k|v -> packed qkv, gate|up -> packed gate_up; layer_weights.cpp:28,43
+    assumes pre-fused files) and the [out,in] -> [in,out] transpose.
+    """
+    dtype = dtype or config.dtype
+    read = _hf_tensor_reader(path)
+    names = read.names
+
+    def get(name: str) -> np.ndarray:
+        return read(name).astype(np.float32)
+
+    def linear_w(name: str) -> np.ndarray:
+        return get(name).T  # HF [out, in] -> [in, out]
+
+    L = config.num_layers
+    wqkv, wo, wgu, wdn, anorm, fnorm = [], [], [], [], [], []
+    for l in range(L):
+        p = f"model.layers.{l}."
+        q = linear_w(p + "self_attn.q_proj.weight")
+        k = linear_w(p + "self_attn.k_proj.weight")
+        v = linear_w(p + "self_attn.v_proj.weight")
+        wqkv.append(np.concatenate([q, k, v], axis=1))
+        wo.append(linear_w(p + "self_attn.o_proj.weight"))
+        g = linear_w(p + "mlp.gate_proj.weight")
+        u = linear_w(p + "mlp.up_proj.weight")
+        wgu.append(np.concatenate([g, u], axis=1))
+        wdn.append(linear_w(p + "mlp.down_proj.weight"))
+        anorm.append(get(p + "input_layernorm.weight"))
+        fnorm.append(get(p + "post_attention_layernorm.weight"))
+
+    embed = get("model.embed_tokens.weight")
+    if "lm_head.weight" in names:
+        lm_head = linear_w("lm_head.weight")
+    else:  # tied embeddings
+        lm_head = embed.T.copy()
+
+    def dev(x):
+        return jnp.asarray(np.stack(x) if isinstance(x, list) else x, dtype)
+
+    return {
+        "embed": dev(embed),
+        "layers": {
+            "attn_norm": dev(anorm),
+            "wqkv": dev(wqkv),
+            "wo": dev(wo),
+            "ffn_norm": dev(fnorm),
+            "w_gate_up": dev(wgu),
+            "w_down": dev(wdn),
+        },
+        "final_norm": dev(get("model.norm.weight")),
+        "lm_head": dev(lm_head),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Reference .bin checkpoint loading
+# ---------------------------------------------------------------------------
+
+def load_reference_bin(config: ModelConfig, path: str,
+                       dtype: Any = None) -> Params:
+    """Load the reference engine's own checkpoint format: one raw
+    little-endian f32/f16 .bin per tensor with HF-style names
+    (reference: llama_weights.cpp:50-75, layer_weights.cpp:64-69 —
+    e.g. model.layers.0.self_attn.qkv.weight.bin). QKV and gate_up are
+    already fused in that format."""
+    dtype = dtype or config.dtype
+
+    def rd(name: str, shape) -> np.ndarray:
+        fn = os.path.join(path, name + ".bin")
+        arr = np.fromfile(fn, dtype=np.float32)
+        if arr.size != int(np.prod(shape)):
+            raise ValueError(f"{fn}: expected {shape}, got {arr.size} elems")
+        return arr.reshape(shape)
+
+    Hd, L = config.hidden_size, config.num_layers
+    layers: dict[str, list] = {k: [] for k in (
+        "attn_norm", "wqkv", "wo", "ffn_norm", "w_gate_up", "w_down")}
+    for l in range(L):
+        p = f"model.layers.{l}."
+        # reference stores [out, in] row-major and GEMMs with a transpose
+        # trick; canonicalize to [in, out]
+        layers["wqkv"].append(rd(p + "self_attn.qkv.weight",
+                                 (config.qkv_size, Hd)).T)
+        layers["wo"].append(rd(p + "self_attn.o_proj.weight",
+                               (Hd, config.q_size)).T)
+        layers["w_gate_up"].append(rd(p + "mlp.gate_up_proj.weight",
+                                      (2 * config.intermediate_size, Hd)).T)
+        layers["w_down"].append(rd(p + "mlp.down_proj.weight",
+                                   (Hd, config.intermediate_size)).T)
+        layers["attn_norm"].append(rd(p + "input_layernorm.weight", (Hd,)))
+        layers["ffn_norm"].append(rd(p + "post_attention_layernorm.weight", (Hd,)))
+
+    def dev(x):
+        return jnp.asarray(np.stack(x) if isinstance(x, list) else x, dtype)
+
+    return {
+        "embed": dev(rd("model.embed_tokens.weight", (config.vocab_size, Hd))),
+        "layers": {k: dev(v) for k, v in layers.items()},
+        "final_norm": dev(rd("model.norm.weight", (Hd,))),
+        "lm_head": dev(rd("lm_head.weight", (config.vocab_size, Hd)).T),
+    }

@@ -1,0 +1,182 @@
+"""Rotary position embeddings and the QKV split.
+
+Capability parity with:
+- ``launchFusedQKVAddBiasAndTransposeAndRope`` (reference:
+  src/kernels/qkv_bias_and_rope.cu:86-138) — prefill path: split the packed
+  QKV projection, apply RoPE at absolute timestep ``history + pos``, and
+  lay q/k/v out for attention. The reference also re-inserts padding
+  (qkv_bias_and_rope.cu:31-36); with dense static batches there is no
+  padding machinery to replicate.
+- ``launchRope`` (reference: src/kernels/rope.cu:60-98) — decode path:
+  RoPE on the single new token at ``step-1``. Here both paths are the same
+  op with different ``positions`` contents (shape-static, per-token).
+- rope math (reference: src/kernels/includes/rope_utils.cuh:6-19): angle =
+  m / base^(2i/d), 2-D rotation. We use the half-split (HF Llama) pairing
+  so real Llama checkpoints reproduce bit-accurate logits.
+
+TPU design: the packed-qkv *split* is an XLA slice (zero-copy view into the
+projection output — the reference needed a kernel for it only because it
+also re-inserted padding); the *rotation* is a Pallas kernel gridded over
+(token block, head) so all in-kernel math stays 2-D [rows, head_dim]
+(Mosaic has no general N-D shape casts). cos/sin are computed in-kernel
+from the integer positions via exp/log — no [max_seq, dim] table in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llm_inference_engine_tpu.utils import cdiv, pallas_interpret, use_pallas
+
+__all__ = ["apply_rope", "apply_rope_xla", "split_qkv_rope", "split_qkv_rope_xla"]
+
+
+def _rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                  scaling: float | None = None):
+    """cos/sin [..., head_dim//2] (f32) for integer positions [...]."""
+    half = head_dim // 2
+    freq_exp = jnp.arange(half, dtype=jnp.float32) * (2.0 / head_dim)
+    inv_freq = 1.0 / (theta ** freq_exp)  # [half]
+    pos = positions.astype(jnp.float32)
+    if scaling is not None:
+        pos = pos / scaling
+    angles = pos[..., None] * inv_freq  # [..., half]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def _rotate(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Half-split rotation: pairs (x[i], x[i+d/2])."""
+    half = x.shape[-1] // 2
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    o1 = x1 * cos - x2 * sin
+    o2 = x2 * cos + x1 * sin
+    return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+
+def apply_rope_xla(x: jax.Array, positions: jax.Array, theta: float = 10000.0,
+                   scaling: float | None = None) -> jax.Array:
+    """Apply RoPE to x: [..., S, H, D] with positions [..., S]."""
+    cos, sin = _rope_cos_sin(positions, x.shape[-1], theta, scaling)
+    # broadcast over the head axis
+    return _rotate(x, cos[..., None, :], sin[..., None, :])
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: rotation over [T, N_heads, D], gridded (token block, head)
+# ---------------------------------------------------------------------------
+
+def _rope_kernel(pos_ref, x_ref, o_ref, *, head_dim, theta, scaling):
+    rows = x_ref.shape[1]
+    half = head_dim // 2
+    x = x_ref[0]                                         # [rows, D]
+
+    # Mosaic-safe cos/sin: integer 2-D iota, float math via exp/log
+    # (float iota is not lowerable on TPU).
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (rows, half), 1)
+    inv_freq = jnp.exp(i2.astype(jnp.float32)
+                       * ((-2.0 / head_dim) * math.log(theta)))
+    pos = pos_ref[:].astype(jnp.float32).reshape(rows, 1)
+    if scaling is not None:
+        pos = pos / scaling
+    angles = pos * inv_freq                              # [rows, half]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+
+    x1 = x[:, :half].astype(jnp.float32)
+    x2 = x[:, half:].astype(jnp.float32)
+    o = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=1)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("theta", "scaling", "block_rows", "interpret"))
+def _apply_rope_pallas(x, positions, theta, scaling, block_rows, interpret):
+    """x: [n_heads, T, D] (head-major so blocks are (1, bt, D) — legal TPU
+    tiles for any head count)."""
+    n_heads, tokens, head_dim = x.shape
+    grid = (n_heads, cdiv(tokens, block_rows))
+    kern = functools.partial(_rope_kernel, head_dim=head_dim, theta=theta,
+                             scaling=scaling)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows,), lambda h, i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows, head_dim), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, head_dim),
+                               lambda h, i: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(positions, x)
+
+
+def apply_rope(x, positions, theta: float = 10000.0,
+               scaling: float | None = None, *, kernels: str = "auto"):
+    """RoPE on x: [..., S, H, D] at integer positions [..., S]."""
+    if not use_pallas(kernels):
+        return apply_rope_xla(x, positions, theta, scaling)
+    lead = x.shape[:-2]
+    n_heads, head_dim = x.shape[-2], x.shape[-1]
+    x3 = x.reshape(-1, n_heads, head_dim).transpose(1, 0, 2)  # [H, T, D]
+    p1 = positions.reshape(-1).astype(jnp.int32)
+    tokens = x3.shape[1]
+    block = tokens if tokens <= 1024 else 1024
+    out = _apply_rope_pallas(x3, p1, float(theta), scaling, block,
+                             pallas_interpret())
+    return out.transpose(1, 0, 2).reshape(*lead, n_heads, head_dim)
+
+
+# ---------------------------------------------------------------------------
+# QKV split + RoPE
+# ---------------------------------------------------------------------------
+
+def split_qkv_rope_xla(qkv, positions, num_heads: int, num_kv_heads: int,
+                       head_dim: int, theta: float = 10000.0,
+                       scaling: float | None = None):
+    """Split packed qkv [..., T, (H+2K)*D] -> q [.., T, H, D], k/v [.., T, K, D]
+    with RoPE applied to q and k at ``positions`` [..., T]."""
+    q_size = num_heads * head_dim
+    kv_size = num_kv_heads * head_dim
+    q = qkv[..., :q_size]
+    k = qkv[..., q_size:q_size + kv_size]
+    v = qkv[..., q_size + kv_size:]
+    q = q.reshape(*q.shape[:-1], num_heads, head_dim)
+    k = k.reshape(*k.shape[:-1], num_kv_heads, head_dim)
+    v = v.reshape(*v.shape[:-1], num_kv_heads, head_dim)
+    q = apply_rope_xla(q, positions, theta, scaling)
+    k = apply_rope_xla(k, positions, theta, scaling)
+    return q, k, v
+
+
+def split_qkv_rope(qkv, positions, num_heads: int, num_kv_heads: int,
+                   head_dim: int, theta: float = 10000.0,
+                   scaling: float | None = None, *, kernels: str = "auto"):
+    """QKV split (XLA view) + Pallas RoPE on q and k.
+
+    qkv: [..., T, (H+2K)*D]; positions: [..., T].
+    """
+    if not use_pallas(kernels):
+        return split_qkv_rope_xla(qkv, positions, num_heads, num_kv_heads,
+                                  head_dim, theta, scaling)
+    q_size = num_heads * head_dim
+    kv_size = num_kv_heads * head_dim
+    q = qkv[..., :q_size].reshape(*qkv.shape[:-1], num_heads, head_dim)
+    k = qkv[..., q_size:q_size + kv_size].reshape(
+        *qkv.shape[:-1], num_kv_heads, head_dim)
+    v = qkv[..., q_size + kv_size:].reshape(
+        *qkv.shape[:-1], num_kv_heads, head_dim)
+    q = apply_rope(q, positions, theta, scaling, kernels=kernels)
+    k = apply_rope(k, positions, theta, scaling, kernels=kernels)
+    return q, k, v

@@ -1,0 +1,59 @@
+"""Top-K / top-p / temperature sampling.
+
+Capability parity with:
+- ``launchTopKForBeamSearch`` (reference: src/kernels/topk.cu:104-140 — a
+  two-pass cub::BlockReduce top-K with per-block insertion-sort register
+  queues). On TPU ``jax.lax.top_k`` lowers to XLA's tuned sort/partial-sort;
+  a hand-written Pallas queue would re-derive it, so the kernel boundary
+  here is the *sampling tail*, not the scan.
+- ``launchSampling`` (reference: src/kernels/sampling.cu:73-102 —
+  max-subtracted softmax over the K winners, inverse-CDF draw with a
+  per-step curand seed, then seq_len++/is_finished bookkeeping). Here the
+  draw uses jax.random (counter-based, reproducible across chips), and the
+  bookkeeping lives in the jitted decode step (runtime/engine.py), keeping
+  this op pure.
+
+Additions over the reference: temperature, nucleus (top-p) filtering, and
+greedy mode — all per-call static config (SamplingParams).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["greedy_sample", "sample_top_k", "top_k_logits"]
+
+
+def top_k_logits(logits: jax.Array, k: int):
+    """Top-K values and indices along the last axis (reference topk.cu)."""
+    return jax.lax.top_k(logits, k)
+
+
+def greedy_sample(logits: jax.Array) -> jax.Array:
+    """argmax over vocab: [..., V] -> int32[...]."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_top_k(logits: jax.Array, key: jax.Array, *, temperature: float = 1.0,
+                 top_k: int = 5, top_p: float = 1.0) -> jax.Array:
+    """Sample token ids from softmax(top_k(logits)/T), optionally top-p
+    filtered within the K winners. logits: [B, V] -> int32 [B]."""
+    if temperature <= 0.0:
+        return greedy_sample(logits)
+    vals, idx = jax.lax.top_k(logits.astype(jnp.float32), top_k)  # [B, k]
+    vals = vals / temperature
+    # max-subtracted softmax over the K winners (reference sampling.cu:31-42)
+    probs = jax.nn.softmax(vals, axis=-1)
+    if top_p < 1.0:
+        # nucleus: keep the smallest prefix of sorted probs with cum >= top_p.
+        # top_k output is already sorted descending.
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p          # always keeps the first token
+        probs = jnp.where(keep, probs, 0.0)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    # inverse-CDF draw (reference sampling.cu:44-63), via categorical on the
+    # renormalized K-way distribution
+    choice = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)),
+                                    axis=-1)                       # [B]
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)

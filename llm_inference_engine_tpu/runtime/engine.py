@@ -1,0 +1,219 @@
+"""Inference engine: jitted prefill / decode steps + generation loop.
+
+Capability parity with the reference's model tier (src/models/llama/llama.cpp):
+- ``generateFirstToken`` (llama.cpp:166-217) -> ``prefill`` — one jitted
+  call that embeds the prompt, runs all layers, fills the KV cache and
+  returns first-token logits;
+- ``generateNextToken`` (llama.cpp:220-257) -> ``decode_step`` — one jitted
+  call per token with the KV cache donated (updated in place);
+- ``response`` generation loop with EOS/length stop and per-token streaming
+  callback (llama.cpp:322-398, basemodel.h:12 CallBack);
+- ``LMHeadAndTopKSample`` (llama.cpp:260-318) — fused into the jitted step:
+  last-token slice -> lm_head -> top-K -> sample, so the only per-token
+  host<->device traffic is the sampled token id (the reference likewise
+  D2H-copied one int per token, llama.cpp:314).
+
+Differences by design: batch slots instead of bs=1 (llama.h:31), no 20-token
+output cap (llama.h:26), sampling parameters are runtime config, multi-round
+history stays in the KV cache across calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_inference_engine_tpu.config import EngineConfig, ModelConfig, SamplingParams
+from llm_inference_engine_tpu.models import llama as llama_model
+from llm_inference_engine_tpu.ops import kv_cache as kvc
+from llm_inference_engine_tpu.ops.sampling import greedy_sample, sample_top_k
+
+__all__ = ["InferenceEngine", "GenerationResult"]
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    token_ids: list[list[int]]          # per sequence, generated ids only
+    num_prompt_tokens: list[int]
+    num_generated: list[int]
+
+
+def _bucket_len(n: int, floor: int = 16, cap: int | None = None) -> int:
+    """Round up to a power of two (bounds jit retraces across prompt lens)."""
+    b = floor
+    while b < n:
+        b *= 2
+    return min(b, cap) if cap is not None else b
+
+
+class InferenceEngine:
+    """Single-host engine over one model replica.
+
+    Parallelism: when built through parallel.sharded_engine the same step
+    functions run shard_map'd over a device mesh; this class is the
+    mesh-of-one path.
+    """
+
+    def __init__(self, config: ModelConfig, engine_config: EngineConfig,
+                 params, rng_seed: int = 0):
+        self.config = config
+        self.engine_config = engine_config
+        self.params = params
+        self._key = jax.random.PRNGKey(rng_seed)
+        self.cache = kvc.new_kv_cache(
+            config.num_layers, engine_config.max_batch_size,
+            config.num_kv_heads, engine_config.max_seq_len, config.head_dim,
+            dtype=config.dtype,
+            quantized=engine_config.kv_cache_dtype == jnp.int8)
+
+        cfg, eng = config, engine_config
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _prefill(params, cache, token_ids, q_start, kv_len):
+            logits, cache = llama_model.forward_hidden(
+                cfg, eng, params, token_ids, cache, q_start, kv_len)
+            return logits, cache
+
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("sp",))
+        def _decode_step(params, cache, tokens, active, key, sp: SamplingParams):
+            q_start = cache.lengths
+            kv_len = q_start + active.astype(jnp.int32)
+            logits, cache = llama_model.forward_hidden(
+                cfg, eng, params, tokens[:, None], cache, q_start, kv_len)
+            if sp.greedy or sp.temperature <= 0.0:
+                nxt = greedy_sample(logits)
+            else:
+                nxt = sample_top_k(logits, key, temperature=sp.temperature,
+                                   top_k=sp.top_k, top_p=sp.top_p)
+            return nxt, cache
+
+        self._prefill_fn = _prefill
+        self._decode_fn = _decode_step
+
+    # ------------------------------------------------------------------
+    # low-level API
+    # ------------------------------------------------------------------
+
+    def reset(self, slots: Optional[Sequence[int]] = None):
+        """Clear history (all slots, or specific ones)."""
+        if slots is None:
+            self.cache = dataclasses.replace(
+                self.cache, lengths=jnp.zeros_like(self.cache.lengths))
+        else:
+            lengths = np.asarray(self.cache.lengths)
+            lengths[list(slots)] = 0
+            self.cache = dataclasses.replace(
+                self.cache, lengths=jnp.asarray(lengths))
+
+    def prefill(self, prompts: Sequence[Sequence[int]]):
+        """Prefill prompt token ids into slots [0, len(prompts)).
+
+        Appends to any existing history in those slots (multi-round chat:
+        the reference reran its context decoder over accumulated history
+        text, llama.cpp:137-155; here only the *new* tokens are prefilled
+        on top of the cached rounds). Returns last-token logits [B, V].
+        """
+        eng = self.engine_config
+        B = eng.max_batch_size
+        if len(prompts) > B:
+            raise ValueError(f"{len(prompts)} prompts > {B} slots")
+        max_len = max(len(p) for p in prompts)
+        T = _bucket_len(max_len, cap=eng.max_seq_len)
+        token_ids = np.zeros((B, T), np.int32)
+        new_len = np.zeros((B,), np.int32)
+        for i, p in enumerate(prompts):
+            token_ids[i, :len(p)] = np.asarray(p, np.int32)
+            new_len[i] = len(p)
+        q_start = self.cache.lengths
+        kv_len = q_start + jnp.asarray(new_len)
+        logits, self.cache = self._prefill_fn(
+            self.params, self.cache, jnp.asarray(token_ids), q_start, kv_len)
+        self.cache = dataclasses.replace(self.cache, lengths=kv_len)
+        return logits
+
+    def decode_step(self, tokens, active, sp: SamplingParams):
+        """One decode step over all slots. tokens/active: [B] device or np."""
+        self._key, sub = jax.random.split(self._key)
+        active = jnp.asarray(active)
+        nxt, self.cache = self._decode_fn(
+            self.params, self.cache, jnp.asarray(tokens), active, sub, sp)
+        return nxt
+
+    # ------------------------------------------------------------------
+    # generation loop (reference: response(), llama.cpp:322-398)
+    # ------------------------------------------------------------------
+
+    def generate(self, prompts: Sequence[Sequence[int]],
+                 sampling: SamplingParams = SamplingParams(),
+                 eos_token_id: int | None = 2,
+                 stream_callback: Optional[Callable[[int, int], None]] = None
+                 ) -> GenerationResult:
+        """Generate completions for up to max_batch_size prompts.
+
+        stream_callback(seq_index, token_id) fires per generated token
+        (reference CallBack protocol, basemodel.h:12 / user_entry.cpp:25-37).
+        """
+        nseq = len(prompts)
+        B = self.engine_config.max_batch_size
+
+        first_logits = self.prefill(prompts)
+        if sampling.greedy or sampling.temperature <= 0.0:
+            tokens = greedy_sample(first_logits)
+        else:
+            self._key, sub = jax.random.split(self._key)
+            tokens = sample_top_k(first_logits, sub,
+                                  temperature=sampling.temperature,
+                                  top_k=sampling.top_k, top_p=sampling.top_p)
+
+        stop_ids = set(sampling.stop_token_ids)
+        if eos_token_id is not None:
+            stop_ids.add(eos_token_id)
+
+        out: list[list[int]] = [[] for _ in range(nseq)]
+        done = np.zeros((B,), bool)
+        done[nseq:] = True
+        active = ~done
+
+        tok_host = np.asarray(tokens)
+        for i in range(nseq):
+            if tok_host[i] in stop_ids:
+                done[i] = True
+            else:
+                out[i].append(int(tok_host[i]))
+                if stream_callback:
+                    stream_callback(i, int(tok_host[i]))
+
+        max_room = self.engine_config.max_seq_len - 1
+        for _ in range(sampling.max_new_tokens - 1):
+            if done.all():
+                break
+            active = ~done
+            lengths = np.asarray(self.cache.lengths)
+            room = lengths < max_room
+            active &= room
+            if not active.any():
+                break
+            tokens = self.decode_step(tokens, active, sampling)
+            tok_host = np.asarray(tokens)
+            for i in range(nseq):
+                if done[i] or not active[i]:
+                    continue
+                t = int(tok_host[i])
+                if t in stop_ids:
+                    done[i] = True
+                    continue
+                out[i].append(t)
+                if stream_callback:
+                    stream_callback(i, t)
+
+        return GenerationResult(
+            token_ids=out,
+            num_prompt_tokens=[len(p) for p in prompts],
+            num_generated=[len(o) for o in out],
+        )

@@ -1,0 +1,63 @@
+"""Unit tests: INT8/INT4 weight quantization + fused dequant matmul.
+
+No reference counterpart exists — quantization was planned, never built
+(reference README.md:36-39) — so the goldens here are the quantization
+error bound and the XLA dequant matmul.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_engine_tpu.ops.quant import (
+    QuantizedTensor, dequantize_tensor, quantize_tensor, quantized_linear,
+    quantized_linear_xla)
+
+
+@pytest.mark.parametrize("mode,tol", [("int8", 0.012), ("int4", 0.16)])
+def test_quantize_roundtrip_error(rng, mode, tol):
+    w = rng.normal(size=(256, 128)).astype(np.float32)
+    t = quantize_tensor(jnp.asarray(w), mode, 128)
+    back = np.asarray(dequantize_tensor(t))
+    # absmax-symmetric error bound: half an LSB of the per-col/group scale
+    err = np.abs(back - w).max()
+    assert err < tol * np.abs(w).max(), err
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+@pytest.mark.parametrize("m,k,n", [(5, 256, 128), (64, 512, 384), (1, 128, 256)])
+def test_quantized_linear_pallas_vs_xla(rng, mode, m, k, n):
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    t = quantize_tensor(jnp.asarray(w), mode, 128)
+    got = np.asarray(quantized_linear(jnp.asarray(x), t, kernels="pallas"))
+    want = np.asarray(quantized_linear_xla(jnp.asarray(x), t))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_quantized_linear_close_to_full_precision(rng, mode):
+    k, n = 512, 256
+    w = (rng.normal(size=(k, n)) * 0.02).astype(np.float32)
+    x = rng.normal(size=(8, k)).astype(np.float32)
+    t = quantize_tensor(jnp.asarray(w), mode, 128)
+    got = np.asarray(quantized_linear(jnp.asarray(x), t, kernels="pallas"))
+    want = x @ w
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < (0.02 if mode == "int8" else 0.2), rel
+
+
+def test_quantized_tensor_is_pytree():
+    """Scan/tree_map must preserve static fields when slicing stacked
+    quantized layers (models/weights.py stacks on a leading L axis)."""
+    import jax
+
+    w = jnp.ones((2, 128, 64))
+    qs = [quantize_tensor(w[i], "int4", 64) for i in range(2)]
+    stacked = QuantizedTensor(
+        q=jnp.stack([t.q for t in qs]), scale=jnp.stack([t.scale for t in qs]),
+        mode="int4", group_size=64)
+    sliced = jax.tree.map(lambda a: a[0], stacked)
+    assert isinstance(sliced, QuantizedTensor)
+    assert sliced.mode == "int4" and sliced.group_size == 64
+    assert sliced.q.shape == qs[0].q.shape
