@@ -39,14 +39,23 @@ __all__ = ["decoder_forward", "forward_hidden", "lm_head_logits"]
 
 
 def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, k_layer,
-                v_layer, positions, q_start, kv_len):
+                v_layer, positions, q_start, kv_len, model_axis=None):
     """One decoder layer. x: [B, T, H]; k/v_layer: [B, K, S, D].
 
     Kernel sequence mirrors the reference contract
     (context_attention.cpp:144-304, ffn.cpp:77-140, self_decoder.cpp:69-119).
+
+    Under tensor parallelism (``model_axis`` set, used inside shard_map) the
+    row-sharded o/down projections produce partial sums reduced with one
+    psum each — the two ICI all-reduces per layer of Megatron-style TP.
     """
     kernels = eng.kernels
     B, T, _ = x.shape
+
+    def reduce_partial(y):
+        if model_axis is None:
+            return y
+        return jax.lax.psum(y, model_axis)
 
     # pre-attention rmsnorm (residual = x itself; the reference's rmsnorm
     # copies input to a residual buffer, rmsnorm.cu:55 — functionally free here)
@@ -66,7 +75,7 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, k_layer,
                          causal=True, block_q=eng.block_q,
                          block_kv=eng.block_kv, kernels=kernels)
     attn_out = attn_out.reshape(B, T, cfg.q_size)
-    attn_out = linear(attn_out, layer["wo"], kernels=kernels)
+    attn_out = reduce_partial(linear(attn_out, layer["wo"], kernels=kernels))
 
     # fused add-residual + rmsnorm into the FFN (add_residual_and_rmsnorm.cu)
     ffn_in, resid = add_residual_rmsnorm(
@@ -75,14 +84,14 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, k_layer,
     # FFN: packed gate|up matmul -> SwiGLU -> down (ffn.cpp:105-132)
     gate_up = linear(ffn_in, layer["w_gate_up"], kernels=kernels)
     act = silu_and_mul(gate_up, kernels=kernels)
-    down = linear(act, layer["w_down"], kernels=kernels)
+    down = reduce_partial(linear(act, layer["w_down"], kernels=kernels))
 
     x_out = add_residual(down, resid, kernels=kernels)
     return x_out, k_layer, v_layer
 
 
 def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
-                    cache: kvc.KVCache, q_start, kv_len):
+                    cache: kvc.KVCache, q_start, kv_len, model_axis=None):
     """Run all decoder layers. Returns (hidden [B,T,H], updated KVCache).
 
     token_ids: [B, T] int32 (prefill: padded prompt chunk; decode: T=1)
@@ -99,7 +108,7 @@ def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
         layer, k_layer, v_layer = xs
         x_out, k_out, v_out = _layer_step(
             cfg, eng, x_carry, layer, k_layer, v_layer, positions, q_start,
-            kv_len)
+            kv_len, model_axis=model_axis)
         return x_out, (k_out, v_out)
 
     x, (k_cache, v_cache) = jax.lax.scan(

@@ -36,7 +36,10 @@ from llm_inference_engine_tpu.ops.quant import QuantizedTensor, quantize_tensor
 
 __all__ = [
     "init_dummy_params",
+    "init_dummy_quantized_params",
     "quantize_params",
+    "fuse_qkv",
+    "fuse_gate_up",
     "load_hf_safetensors",
     "load_reference_bin",
     "param_count",
@@ -44,6 +47,28 @@ __all__ = [
 ]
 
 Params = dict  # {'embed', 'layers': {...}, 'final_norm', 'lm_head'}
+
+
+def fuse_qkv(wq: np.ndarray, wk: np.ndarray, wv: np.ndarray,
+             num_heads: int, num_kv_heads: int, head_dim: int) -> np.ndarray:
+    """Fuse separate [in, H*D]/[in, K*D] projections into the group-major
+    packed layout [in, K*(G+2)*D] (see ops/rope.py layout note): for each KV
+    group, its G query heads, then its k head, then its v head. Contiguously
+    shardable over tensor-parallel ranks."""
+    hidden = wq.shape[0]
+    G = num_heads // num_kv_heads
+    q = wq.reshape(hidden, num_kv_heads, G, head_dim)
+    k = wk.reshape(hidden, num_kv_heads, 1, head_dim)
+    v = wv.reshape(hidden, num_kv_heads, 1, head_dim)
+    packed = np.concatenate([q, k, v], axis=2)       # [in, K, G+2, D]
+    return packed.reshape(hidden, num_kv_heads * (G + 2) * head_dim)
+
+
+def fuse_gate_up(wg: np.ndarray, wu: np.ndarray) -> np.ndarray:
+    """Fuse [in, I] gate and up into [in, 2, I] (shard axis = I; a local
+    reshape to [in, 2*I_local] recovers the packed gate|up convention of
+    ops/activations.silu_and_mul on every shard)."""
+    return np.stack([wg, wu], axis=1)
 
 
 def init_dummy_params(config: ModelConfig, seed: int = 0,
@@ -69,7 +94,7 @@ def init_dummy_params(config: ModelConfig, seed: int = 0,
             "wqkv": w_init(ks[1], (L, Hd, config.qkv_size)),
             "wo": w_init(ks[2], (L, config.q_size, Hd)),
             "ffn_norm": norm_init((L, Hd)),
-            "w_gate_up": w_init(ks[3], (L, Hd, 2 * config.intermediate_size)),
+            "w_gate_up": w_init(ks[3], (L, Hd, 2, config.intermediate_size)),
             "w_down": w_init(ks[4], (L, config.intermediate_size, Hd)),
         },
         "final_norm": norm_init((Hd,)),
@@ -79,6 +104,57 @@ def init_dummy_params(config: ModelConfig, seed: int = 0,
 
 
 _QUANT_KEYS = ("wqkv", "wo", "w_gate_up", "w_down")
+
+
+def init_dummy_quantized_params(config: ModelConfig, mode: str = "int8",
+                                group_size: int = 128, seed: int = 0,
+                                scale: float = 0.02) -> Params:
+    """Random dummy weights born quantized (no full-precision original is
+    ever materialized — needed to stage a 7B model on a single 16 GB chip,
+    which is exactly the wall the reference hit in FP16, README.md:9)."""
+    L, Hd = config.num_layers, config.hidden_size
+    key = jax.random.PRNGKey(seed)
+
+    def qdummy(k, in_dim, out_shape):
+        out_dim = int(np.prod(out_shape))
+        if mode == "int8":
+            q = jax.random.randint(k, (in_dim, out_dim), -127, 128, jnp.int8)
+            s = jnp.full((1, out_dim), scale / 127.0, jnp.float32)
+        else:
+            rows = jax.random.randint(k, (in_dim, out_dim), -8, 8, jnp.int8)
+            from llm_inference_engine_tpu.ops.quant import _pack_int4
+            q = _pack_int4(rows, group_size)
+            s = jnp.full((in_dim // group_size, out_dim), scale / 7.0,
+                         jnp.float32)
+        if len(out_shape) > 1:
+            q = q.reshape(q.shape[0], *out_shape)
+            s = s.reshape(s.shape[0], *out_shape)
+        return q, s
+
+    def qstack(k, in_dim, out_shape):
+        ks = jax.random.split(k, L)
+        qs, ss = zip(*(qdummy(ks[l], in_dim, out_shape) for l in range(L)))
+        return QuantizedTensor(q=jnp.stack(qs), scale=jnp.stack(ss),
+                               mode=mode, group_size=group_size)
+
+    ks = jax.random.split(key, 6)
+    dtype = config.dtype
+    lm_q, lm_s = qdummy(ks[5], Hd, (config.vocab_size,))
+    return {
+        "embed": (jax.random.normal(ks[0], (config.vocab_size, Hd),
+                                    jnp.float32) * scale).astype(dtype),
+        "layers": {
+            "attn_norm": jnp.ones((L, Hd), dtype),
+            "wqkv": qstack(ks[1], Hd, (config.qkv_size,)),
+            "wo": qstack(ks[2], config.q_size, (Hd,)),
+            "ffn_norm": jnp.ones((L, Hd), dtype),
+            "w_gate_up": qstack(ks[3], Hd, (2, config.intermediate_size)),
+            "w_down": qstack(ks[4], config.intermediate_size, (Hd,)),
+        },
+        "final_norm": jnp.ones((Hd,), dtype),
+        "lm_head": QuantizedTensor(q=lm_q, scale=lm_s, mode=mode,
+                                   group_size=group_size),
+    }
 
 
 def quantize_params(params: Params, mode: str = "int8",
@@ -91,12 +167,19 @@ def quantize_params(params: Params, mode: str = "int8",
     out = {"embed": params["embed"], "final_norm": params["final_norm"]}
     layers = dict(params["layers"])
     for name in _QUANT_KEYS:
-        w = layers[name]  # [L, in, out]
+        w = layers[name]  # [L, in, out] (or [L, in, 2, I] for gate_up)
+        structured = w.ndim == 4  # keep the (2, I) out structure so TP
+        if structured:            # sharding splits I, not the packed 2I axis
+            w = w.reshape(w.shape[0], w.shape[1], -1)
         qs, ss = [], []
         for l in range(w.shape[0]):
             t = quantize_tensor(w[l], mode, group_size)
-            qs.append(t.q)
-            ss.append(t.scale)
+            q, s = t.q, t.scale
+            if structured:
+                q = q.reshape(q.shape[0], 2, -1)
+                s = s.reshape(s.shape[0], 2, -1)
+            qs.append(q)
+            ss.append(s)
         layers[name] = QuantizedTensor(
             q=jnp.stack(qs), scale=jnp.stack(ss), mode=mode,
             group_size=group_size)
@@ -168,11 +251,12 @@ def load_hf_safetensors(config: ModelConfig, path: str,
         q = linear_w(p + "self_attn.q_proj.weight")
         k = linear_w(p + "self_attn.k_proj.weight")
         v = linear_w(p + "self_attn.v_proj.weight")
-        wqkv.append(np.concatenate([q, k, v], axis=1))
+        wqkv.append(fuse_qkv(q, k, v, config.num_heads, config.num_kv_heads,
+                             config.head_dim))
         wo.append(linear_w(p + "self_attn.o_proj.weight"))
         g = linear_w(p + "mlp.gate_proj.weight")
         u = linear_w(p + "mlp.up_proj.weight")
-        wgu.append(np.concatenate([g, u], axis=1))
+        wgu.append(fuse_gate_up(g, u))
         wdn.append(linear_w(p + "mlp.down_proj.weight"))
         anorm.append(get(p + "input_layernorm.weight"))
         fnorm.append(get(p + "post_attention_layernorm.weight"))
@@ -226,14 +310,21 @@ def load_reference_bin(config: ModelConfig, path: str,
         "attn_norm", "wqkv", "wo", "ffn_norm", "w_gate_up", "w_down")}
     for l in range(L):
         p = f"model.layers.{l}."
-        # reference stores [out, in] row-major and GEMMs with a transpose
-        # trick; canonicalize to [in, out]
-        layers["wqkv"].append(rd(p + "self_attn.qkv.weight",
-                                 (config.qkv_size, Hd)).T)
+        # reference stores [out, in] row-major ([q|k|v] / [gate|up] packed)
+        # and GEMMs with a transpose trick; canonicalize to [in, out] and
+        # re-pack to the group-major / stacked layouts
+        qkv = rd(p + "self_attn.qkv.weight", (config.qkv_size, Hd)).T
+        layers["wqkv"].append(fuse_qkv(
+            qkv[:, :config.q_size],
+            qkv[:, config.q_size:config.q_size + config.kv_size],
+            qkv[:, config.q_size + config.kv_size:],
+            config.num_heads, config.num_kv_heads, config.head_dim))
         layers["wo"].append(rd(p + "self_attn.o_proj.weight",
                                (Hd, config.q_size)).T)
-        layers["w_gate_up"].append(rd(p + "mlp.gate_up_proj.weight",
-                                      (2 * config.intermediate_size, Hd)).T)
+        gu = rd(p + "mlp.gate_up_proj.weight",
+                (2 * config.intermediate_size, Hd)).T
+        I = config.intermediate_size
+        layers["w_gate_up"].append(fuse_gate_up(gu[:, :I], gu[:, I:]))
         layers["w_down"].append(rd(p + "mlp.down_proj.weight",
                                    (Hd, config.intermediate_size)).T)
         layers["attn_norm"].append(rd(p + "input_layernorm.weight", (Hd,)))

@@ -30,8 +30,11 @@ __all__ = ["linear", "linear_xla"]
 
 def linear_xla(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
                out_dtype: Any = None) -> jax.Array:
-    """y = x @ w (+ bias). x: [..., in], w: [in, out]."""
+    """y = x @ w (+ bias). x: [..., in], w: [in, out] or [in, *out_dims]
+    (trailing out dims are flattened — e.g. the [in, 2, I] gate|up stack)."""
     out_dtype = out_dtype or x.dtype
+    if w.ndim > 2:
+        w = w.reshape(w.shape[0], -1)
     y = jax.lax.dot_general(
         x, w,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),

@@ -154,6 +154,11 @@ def quantized_linear_xla(x: jax.Array, t: QuantizedTensor,
                          bias: jax.Array | None = None,
                          out_dtype: Any = None) -> jax.Array:
     out_dtype = out_dtype or x.dtype
+    if t.q.ndim > 2:
+        t = QuantizedTensor(
+            q=t.q.reshape(t.q.shape[0], -1),
+            scale=t.scale.reshape(t.scale.shape[0], -1),
+            mode=t.mode, group_size=t.group_size)
     if t.mode == "int8":
         y = jax.lax.dot_general(
             x.astype(jnp.float32), t.q.astype(jnp.float32),
@@ -256,8 +261,18 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
 def quantized_linear(x: jax.Array, t: QuantizedTensor,
                      bias: jax.Array | None = None, out_dtype: Any = None,
                      *, kernels: str = "auto") -> jax.Array:
-    """y = x @ dequant(t) (+ bias), dequantization fused into the matmul."""
+    """y = x @ dequant(t) (+ bias), dequantization fused into the matmul.
+
+    ``t.q`` may carry structured out dims (e.g. [in, 2, I] for the gate|up
+    stack, kept structured so tensor-parallel sharding splits the I axis,
+    not the packed 2I axis) — flattened to 2-D here, at the local use site.
+    """
     out_dtype = out_dtype or x.dtype
+    if t.q.ndim > 2:
+        t = QuantizedTensor(
+            q=t.q.reshape(t.q.shape[0], -1),
+            scale=t.scale.reshape(t.scale.shape[0], -1),
+            mode=t.mode, group_size=t.group_size)
     if not use_pallas(kernels):
         return quantized_linear_xla(x, t, bias, out_dtype)
 

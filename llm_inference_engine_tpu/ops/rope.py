@@ -141,20 +141,33 @@ def apply_rope(x, positions, theta: float = 10000.0,
 # ---------------------------------------------------------------------------
 # QKV split + RoPE
 # ---------------------------------------------------------------------------
+#
+# Packed-QKV layout is GROUP-MAJOR: for each KV group g (of K total) the
+# columns are [q_{gG} .. q_{(g+1)G-1}, k_g, v_g], i.e. the projection output
+# reshapes to [..., K, G+2, D]. This keeps the reference's single fused QKV
+# GEMM (layer_weights.cpp:28) while making the packed axis *contiguously
+# shardable* over the tensor-parallel mesh axis: every shard receives whole
+# KV groups (its q heads together with their k/v heads), independent of the
+# mesh size. Since HF's GQA maps q head h to kv head h//G, group-major order
+# preserves the standard head numbering h = g*G + i exactly.
+
+
+def _split_grouped(qkv, num_heads: int, num_kv_heads: int, head_dim: int):
+    lead = qkv.shape[:-1]
+    G = num_heads // num_kv_heads
+    z = qkv.reshape(*lead, num_kv_heads, G + 2, head_dim)
+    q = z[..., :G, :].reshape(*lead, num_heads, head_dim)
+    k = z[..., G, :]
+    v = z[..., G + 1, :]
+    return q, k, v
+
 
 def split_qkv_rope_xla(qkv, positions, num_heads: int, num_kv_heads: int,
                        head_dim: int, theta: float = 10000.0,
                        scaling: float | None = None):
-    """Split packed qkv [..., T, (H+2K)*D] -> q [.., T, H, D], k/v [.., T, K, D]
-    with RoPE applied to q and k at ``positions`` [..., T]."""
-    q_size = num_heads * head_dim
-    kv_size = num_kv_heads * head_dim
-    q = qkv[..., :q_size]
-    k = qkv[..., q_size:q_size + kv_size]
-    v = qkv[..., q_size + kv_size:]
-    q = q.reshape(*q.shape[:-1], num_heads, head_dim)
-    k = k.reshape(*k.shape[:-1], num_kv_heads, head_dim)
-    v = v.reshape(*v.shape[:-1], num_kv_heads, head_dim)
+    """Split group-major packed qkv [..., T, K*(G+2)*D] -> q [.., T, H, D],
+    k/v [.., T, K, D] with RoPE applied to q and k at ``positions``."""
+    q, k, v = _split_grouped(qkv, num_heads, num_kv_heads, head_dim)
     q = apply_rope_xla(q, positions, theta, scaling)
     k = apply_rope_xla(k, positions, theta, scaling)
     return q, k, v
@@ -165,18 +178,12 @@ def split_qkv_rope(qkv, positions, num_heads: int, num_kv_heads: int,
                    scaling: float | None = None, *, kernels: str = "auto"):
     """QKV split (XLA view) + Pallas RoPE on q and k.
 
-    qkv: [..., T, (H+2K)*D]; positions: [..., T].
+    qkv: [..., T, K*(G+2)*D] group-major; positions: [..., T].
     """
     if not use_pallas(kernels):
         return split_qkv_rope_xla(qkv, positions, num_heads, num_kv_heads,
                                   head_dim, theta, scaling)
-    q_size = num_heads * head_dim
-    kv_size = num_kv_heads * head_dim
-    q = qkv[..., :q_size].reshape(*qkv.shape[:-1], num_heads, head_dim)
-    k = qkv[..., q_size:q_size + kv_size].reshape(
-        *qkv.shape[:-1], num_kv_heads, head_dim)
-    v = qkv[..., q_size + kv_size:].reshape(
-        *qkv.shape[:-1], num_kv_heads, head_dim)
+    q, k, v = _split_grouped(qkv, num_heads, num_kv_heads, head_dim)
     q = apply_rope(q, positions, theta, scaling, kernels=kernels)
     k = apply_rope(k, positions, theta, scaling, kernels=kernels)
     return q, k, v

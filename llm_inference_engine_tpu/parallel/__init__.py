@@ -1,0 +1,4 @@
+from llm_inference_engine_tpu.parallel.mesh import make_mesh
+from llm_inference_engine_tpu.parallel import sharding  # noqa: F401
+
+__all__ = ["make_mesh", "sharding"]

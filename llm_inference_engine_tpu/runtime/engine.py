@@ -60,32 +60,48 @@ class InferenceEngine:
     """
 
     def __init__(self, config: ModelConfig, engine_config: EngineConfig,
-                 params, rng_seed: int = 0):
+                 params, rng_seed: int = 0, mesh=None):
         self.config = config
         self.engine_config = engine_config
-        self.params = params
         self._key = jax.random.PRNGKey(rng_seed)
-        self.cache = kvc.new_kv_cache(
+
+        cfg, eng = config, engine_config
+
+        if mesh is None and (eng.dp > 1 or eng.tp > 1):
+            from llm_inference_engine_tpu.parallel import make_mesh
+            mesh = make_mesh(dp=eng.dp, tp=eng.tp)
+        self.mesh = mesh
+
+        cache = kvc.new_kv_cache(
             config.num_layers, engine_config.max_batch_size,
             config.num_kv_heads, engine_config.max_seq_len, config.head_dim,
             dtype=config.dtype,
             quantized=engine_config.kv_cache_dtype == jnp.int8)
 
-        cfg, eng = config, engine_config
+        if mesh is not None:
+            from llm_inference_engine_tpu.parallel import sharding
+            params = sharding.shard_params(params, mesh)
+            cache = sharding.shard_cache(cache, mesh)
+            fwd = sharding.make_sharded_forward(cfg, eng, mesh, params)
+        else:
+            def fwd(p, c, ids, q_start, kv_len):
+                return llama_model.forward_hidden(cfg, eng, p, ids, c,
+                                                  q_start, kv_len)
+
+        self.params = params
+        self.cache = cache
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill(params, cache, token_ids, q_start, kv_len):
-            logits, cache = llama_model.forward_hidden(
-                cfg, eng, params, token_ids, cache, q_start, kv_len)
-            return logits, cache
+            return fwd(params, cache, token_ids, q_start, kv_len)
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("sp",))
         def _decode_step(params, cache, tokens, active, key, sp: SamplingParams):
             q_start = cache.lengths
             kv_len = q_start + active.astype(jnp.int32)
-            logits, cache = llama_model.forward_hidden(
-                cfg, eng, params, tokens[:, None], cache, q_start, kv_len)
+            logits, cache = fwd(params, cache, tokens[:, None], q_start,
+                                kv_len)
             if sp.greedy or sp.temperature <= 0.0:
                 nxt = greedy_sample(logits)
             else:
@@ -93,8 +109,28 @@ class InferenceEngine:
                                    top_k=sp.top_k, top_p=sp.top_p)
             return nxt, cache
 
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("num_steps",))
+        def _decode_rollout(params, cache, tokens, num_steps: int):
+            """Greedy multi-step decode fully on device (no per-token host
+            round-trip — the reference paid a D2H+H2D per token,
+            llama.cpp:314,392; this pays one per ``num_steps``)."""
+            def body(carry, _):
+                cache, toks = carry
+                q_start = cache.lengths
+                kv_len = q_start + 1
+                logits, cache = fwd(params, cache, toks[:, None], q_start,
+                                    kv_len)
+                nxt = greedy_sample(logits)
+                return (cache, nxt), nxt
+
+            (cache, _), all_toks = jax.lax.scan(
+                body, (cache, tokens), None, length=num_steps)
+            return all_toks, cache
+
         self._prefill_fn = _prefill
         self._decode_fn = _decode_step
+        self._rollout_fn = _decode_rollout
 
     # ------------------------------------------------------------------
     # low-level API
@@ -144,6 +180,15 @@ class InferenceEngine:
         nxt, self.cache = self._decode_fn(
             self.params, self.cache, jnp.asarray(tokens), active, sub, sp)
         return nxt
+
+    def decode_rollout(self, tokens, num_steps: int):
+        """Greedy decode ``num_steps`` tokens for all slots in ONE device
+        call (lax.scan over steps). Returns [num_steps, B] token ids.
+        Used by benchmarks and batch completion; per-token streaming uses
+        decode_step instead."""
+        toks, self.cache = self._rollout_fn(
+            self.params, self.cache, jnp.asarray(tokens), num_steps)
+        return toks
 
     # ------------------------------------------------------------------
     # generation loop (reference: response(), llama.cpp:322-398)

@@ -1,0 +1,113 @@
+"""Sharding tests: TP/DP shard_map forward must match single-device forward.
+
+The reference has no distributed tier (SURVEY.md §2f); these tests validate
+the new framework's mesh path on the 8-device virtual CPU mesh
+(xla_force_host_platform_device_count pattern, SNIPPETS.md [2]).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_engine_tpu.config import EngineConfig, get_config
+from llm_inference_engine_tpu.models import llama as M
+from llm_inference_engine_tpu.models.weights import init_dummy_params, quantize_params
+from llm_inference_engine_tpu.ops import kv_cache as kvc
+from llm_inference_engine_tpu.parallel import make_mesh, sharding
+
+CFG = get_config("debug")           # 4 heads, 2 kv heads, vocab 256
+ENG = EngineConfig(max_batch_size=4, max_seq_len=32, kernels="xla")
+
+
+def _reference_logits(params, ids, lens):
+    B = ids.shape[0]
+    cache = kvc.new_kv_cache(CFG.num_layers, B, CFG.num_kv_heads,
+                             ENG.max_seq_len, CFG.head_dim, dtype=CFG.dtype)
+    logits, cache = M.forward_hidden(
+        CFG, ENG, params, jnp.asarray(ids), cache,
+        jnp.zeros((B,), jnp.int32), jnp.asarray(lens, jnp.int32))
+    return np.asarray(logits), cache
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 1), (2, 2), (1, 1), (4, 2)])
+def test_sharded_forward_matches_single_device(rng, dp, tp):
+    params = init_dummy_params(CFG, seed=0)
+    B, T = 4, 8
+    ids = rng.integers(0, CFG.vocab_size, size=(B, T)).astype(np.int32)
+    lens = np.array([8, 5, 8, 3], np.int32)
+
+    want, _ = _reference_logits(params, ids, lens)
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices("cpu"))
+    sp = sharding.shard_params(params, mesh)
+    cache = kvc.new_kv_cache(CFG.num_layers, B, CFG.num_kv_heads,
+                             ENG.max_seq_len, CFG.head_dim, dtype=CFG.dtype)
+    sc = sharding.shard_cache(cache, mesh)
+    fwd = jax.jit(sharding.make_sharded_forward(CFG, ENG, mesh, params))
+    got, new_cache = fwd(sp, sc, jnp.asarray(ids),
+                         jnp.zeros((B,), jnp.int32),
+                         jnp.asarray(lens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-4)
+
+
+def test_sharded_decode_continuation(rng):
+    """Prefill then one decode step, sharded vs unsharded."""
+    params = init_dummy_params(CFG, seed=1)
+    B, T = 4, 6
+    ids = rng.integers(0, CFG.vocab_size, size=(B, T)).astype(np.int32)
+    lens = np.full((B,), T, np.int32)
+    next_tok = rng.integers(0, CFG.vocab_size, size=(B, 1)).astype(np.int32)
+
+    # unsharded: prefill + decode
+    _, cache_ref = _reference_logits(params, ids, lens)
+    want_logits, _ = M.forward_hidden(
+        CFG, ENG, params, jnp.asarray(next_tok), cache_ref,
+        jnp.asarray(lens), jnp.asarray(lens + 1))
+    want = np.asarray(want_logits)
+
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices("cpu"))
+    sp = sharding.shard_params(params, mesh)
+    cache = kvc.new_kv_cache(CFG.num_layers, B, CFG.num_kv_heads,
+                             ENG.max_seq_len, CFG.head_dim, dtype=CFG.dtype)
+    sc = sharding.shard_cache(cache, mesh)
+    fwd = jax.jit(sharding.make_sharded_forward(CFG, ENG, mesh, params))
+    _, sc = fwd(sp, sc, jnp.asarray(ids), jnp.zeros((B,), jnp.int32),
+                jnp.asarray(lens))
+    got, _ = fwd(sp, sc, jnp.asarray(next_tok), jnp.asarray(lens),
+                 jnp.asarray(lens + 1))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-4)
+
+
+def test_sharded_quantized_forward(rng):
+    """INT8-quantized params under TP: local fused dequant matmuls + psum
+    must match the unsharded quantized forward."""
+    params = init_dummy_params(CFG, seed=2)
+    qparams = quantize_params(params, "int8")
+    B, T = 2, 5
+    ids = rng.integers(0, CFG.vocab_size, size=(B, T)).astype(np.int32)
+    lens = np.full((B,), T, np.int32)
+
+    cache = kvc.new_kv_cache(CFG.num_layers, B, CFG.num_kv_heads,
+                             ENG.max_seq_len, CFG.head_dim, dtype=CFG.dtype)
+    eng = ENG.replace(max_batch_size=2)
+    want, _ = M.forward_hidden(CFG, eng, qparams, jnp.asarray(ids), cache,
+                               jnp.zeros((B,), jnp.int32), jnp.asarray(lens))
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices("cpu"))
+    sp = sharding.shard_params(qparams, mesh)
+    cache2 = kvc.new_kv_cache(CFG.num_layers, B, CFG.num_kv_heads,
+                              eng.max_seq_len, CFG.head_dim, dtype=CFG.dtype)
+    sc = sharding.shard_cache(cache2, mesh)
+    fwd = jax.jit(sharding.make_sharded_forward(CFG, eng, mesh, qparams))
+    got, _ = fwd(sp, sc, jnp.asarray(ids), jnp.zeros((B,), jnp.int32),
+                 jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_mesh_validation():
+    from llm_inference_engine_tpu.parallel.mesh import validate_mesh
+    mesh = make_mesh(dp=1, tp=4, devices=jax.devices("cpu"))
+    with pytest.raises(ValueError, match="num_kv_heads"):
+        validate_mesh(CFG, ENG, mesh)  # 2 kv heads % 4 != 0
