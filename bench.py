@@ -51,23 +51,24 @@ def main():
     logits = engine.prefill(prompts)
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # warmup (compile the rollout)
-    toks = engine.decode_rollout(tokens, 4)
-    toks.block_until_ready()
+    # warmup (compile the rollout); NB: block_until_ready is unreliable over
+    # the axon tunnel — force a small D2H transfer to fence execution
+    toks = engine.decode_rollout(tokens, ROLLOUT)
+    _ = np.asarray(toks[-1])
 
     best_dt = float("inf")
     for _ in range(REPEATS):
         last = toks[-1]
         t0 = time.perf_counter()
         toks = engine.decode_rollout(last, ROLLOUT)
-        toks.block_until_ready()
+        _ = np.asarray(toks[-1])                     # execution fence
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     tok_per_sec = BATCH * ROLLOUT / best_dt
 
     # roofline: weight bytes + avg KV-cache bytes read per step
     wbytes = param_bytes(params)
-    avg_ctx = PROMPT_LEN + 4 + ROLLOUT * (REPEATS + 0.5)  # mean during timing
+    avg_ctx = PROMPT_LEN + ROLLOUT * (REPEATS + 1.5)      # mean during timing
     kv_bytes = (cfg.num_layers * 2 * cfg.num_kv_heads * avg_ctx
                 * cfg.head_dim * jnp.dtype(cfg.dtype).itemsize * BATCH)
     step_time_roofline = (wbytes + kv_bytes) / HBM_BW_BYTES

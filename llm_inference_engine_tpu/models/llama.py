@@ -39,7 +39,8 @@ __all__ = ["decoder_forward", "forward_hidden", "lm_head_logits"]
 
 
 def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, k_layer,
-                v_layer, positions, q_start, kv_len, model_axis=None):
+                v_layer, positions, q_start, kv_len, model_axis=None,
+                ks_layer=None, vs_layer=None):
     """One decoder layer. x: [B, T, H]; k/v_layer: [B, K, S, D].
 
     Kernel sequence mirrors the reference contract
@@ -68,12 +69,13 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, k_layer,
         cfg.rope_theta, cfg.rope_scaling, kernels=kernels)
 
     # cache write before attend (decoder_self_attention.cu:126,172 semantics)
-    k_layer, v_layer, _, _ = kvc.update_layer_cache(
-        k_layer, v_layer, k_new, v_new, q_start)
+    k_layer, v_layer, ks_layer, vs_layer = kvc.update_layer_cache(
+        k_layer, v_layer, k_new, v_new, q_start, ks_layer, vs_layer)
 
     attn_out = attention(q, k_layer, v_layer, q_start, kv_len,
                          causal=True, block_q=eng.block_q,
-                         block_kv=eng.block_kv, kernels=kernels)
+                         block_kv=eng.block_kv, kernels=kernels,
+                         k_scale=ks_layer, v_scale=vs_layer)
     attn_out = attn_out.reshape(B, T, cfg.q_size)
     attn_out = reduce_partial(linear(attn_out, layer["wo"], kernels=kernels))
 
@@ -87,7 +89,7 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, k_layer,
     down = reduce_partial(linear(act, layer["w_down"], kernels=kernels))
 
     x_out = add_residual(down, resid, kernels=kernels)
-    return x_out, k_layer, v_layer
+    return x_out, k_layer, v_layer, ks_layer, vs_layer
 
 
 def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
@@ -104,19 +106,33 @@ def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
     x = embedding_lookup(params["embed"], token_ids, kernels=eng.kernels)
     x = x.astype(cfg.dtype)
 
-    def body(x_carry, xs):
-        layer, k_layer, v_layer = xs
-        x_out, k_out, v_out = _layer_step(
-            cfg, eng, x_carry, layer, k_layer, v_layer, positions, q_start,
-            kv_len, model_axis=model_axis)
-        return x_out, (k_out, v_out)
+    if cache.quantized:
+        def body(x_carry, xs):
+            layer, k_layer, v_layer, ks_layer, vs_layer = xs
+            x_out, k_out, v_out, ks_out, vs_out = _layer_step(
+                cfg, eng, x_carry, layer, k_layer, v_layer, positions,
+                q_start, kv_len, model_axis=model_axis, ks_layer=ks_layer,
+                vs_layer=vs_layer)
+            return x_out, (k_out, v_out, ks_out, vs_out)
 
-    x, (k_cache, v_cache) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v))
+        x, (k_cache, v_cache, ks_cache, vs_cache) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v, cache.k_scale,
+                      cache.v_scale))
+        new_cache = kvc.KVCache(k=k_cache, v=v_cache, lengths=kv_len,
+                                k_scale=ks_cache, v_scale=vs_cache)
+    else:
+        def body(x_carry, xs):
+            layer, k_layer, v_layer = xs
+            x_out, k_out, v_out, _, _ = _layer_step(
+                cfg, eng, x_carry, layer, k_layer, v_layer, positions,
+                q_start, kv_len, model_axis=model_axis)
+            return x_out, (k_out, v_out)
+
+        x, (k_cache, v_cache) = jax.lax.scan(
+            body, x, (params["layers"], cache.k, cache.v))
+        new_cache = kvc.KVCache(k=k_cache, v=v_cache, lengths=kv_len)
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps, kernels=eng.kernels)
-    new_cache = kvc.KVCache(k=k_cache, v=v_cache, lengths=kv_len,
-                            k_scale=cache.k_scale, v_scale=cache.v_scale)
     return x, new_cache
 
 

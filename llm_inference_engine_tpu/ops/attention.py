@@ -45,11 +45,12 @@ _NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
-                  sm_scale: float | None = None):
+                  sm_scale: float | None = None, k_scale=None, v_scale=None):
     """Dense-masked attention (golden reference; O(Sq*Skv) memory).
 
     q:       [B, Sq, H, D]
-    k_cache: [B, K, Skv, D], v_cache: same
+    k_cache: [B, K, Skv, D], v_cache: same (int8 when k_scale/v_scale given:
+             per-token dequant scales [B, K, Skv, 1])
     q_start: [B] int32 absolute position of q[:, 0]
     kv_len:  [B] int32 valid kv length (history + new tokens)
     returns  [B, Sq, H, D]
@@ -62,6 +63,10 @@ def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
     qf = q.astype(jnp.float32).reshape(B, Sq, K, G, D)
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale
+    if v_scale is not None:
+        vf = vf * v_scale
 
     # logits [B, K, G, Sq, Skv]
     s = jnp.einsum("bikgd,bktd->bkgit", qf, kf) * scale
@@ -90,6 +95,26 @@ def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
 def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, o_ref,
                  m_ref, l_ref, acc_ref, *, sm_scale, block_q, block_kv,
                  group, causal, num_kv_blocks):
+    _attn_kernel_impl(qs_ref, kl_ref, q_ref, k_ref, v_ref, None, None, o_ref,
+                      m_ref, l_ref, acc_ref, sm_scale=sm_scale,
+                      block_q=block_q, block_kv=block_kv, group=group,
+                      causal=causal, num_kv_blocks=num_kv_blocks)
+
+
+def _attn_kernel_quant(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                       o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_q,
+                       block_kv, group, causal, num_kv_blocks):
+    """INT8-KV variant: per-token scales dequantize K/V blocks in VMEM
+    (quantize-on-write lives in ops/kv_cache.py)."""
+    _attn_kernel_impl(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                      o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale,
+                      block_q=block_q, block_kv=block_kv, group=group,
+                      causal=causal, num_kv_blocks=num_kv_blocks)
+
+
+def _attn_kernel_impl(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                      o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_q,
+                      block_kv, group, causal, num_kv_blocks):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ikv = pl.program_id(3)
@@ -114,6 +139,8 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, o_ref,
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)           # [bq, D]
         k = k_ref[0, 0].astype(jnp.float32)           # [bk, D]
+        if ks_ref is not None:
+            k = k * ks_ref[0, 0]                      # [bk, 1] per-token scale
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
@@ -136,6 +163,8 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, o_ref,
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
         v = v_ref[0, 0].astype(jnp.float32)           # [bk, D]
+        if vs_ref is not None:
+            v = v * vs_ref[0, 0]
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # [bq, D]
@@ -154,7 +183,8 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, o_ref,
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_kv", "interpret"))
 def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
-                      block_q, block_kv, interpret):
+                      block_q, block_kv, interpret, k_scale=None,
+                      v_scale=None):
     B, Sq, H, D = q.shape
     K, Skv = k_cache.shape[1], k_cache.shape[2]
     G = H // K
@@ -168,14 +198,22 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
     # [B, Sq, H, D] -> [B, K, Sq*G, D]; row r = i*G + g
     qr = q.reshape(B, Sq, K, G, D).transpose(0, 2, 1, 3, 4).reshape(B, K, rows, D)
 
+    quant = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, k, i, j, *_: (b, k, i, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, k, i, j, *_: (b, k, j, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, k, i, j, *_: (b, k, j, 0)),
+    ]
+    inputs = [q_start, kv_len, qr, k_cache, v_cache]
+    if quant:
+        s_spec = pl.BlockSpec((1, 1, bk, 1), lambda b, k, i, j, *_: (b, k, j, 0))
+        in_specs += [s_spec, s_spec]
+        inputs += [k_scale, v_scale]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, K, nq, nkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, k, i, j, *_: (b, k, i, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, k, i, j, *_: (b, k, j, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, k, i, j, *_: (b, k, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, k, i, j, *_: (b, k, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -184,34 +222,39 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
         ],
     )
     kern = functools.partial(
-        _attn_kernel, sm_scale=sm_scale, block_q=bq, block_kv=bk, group=G,
+        _attn_kernel_quant if quant else _attn_kernel,
+        sm_scale=sm_scale, block_q=bq, block_kv=bk, group=G,
         causal=causal, num_kv_blocks=nkv)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, K, rows, D), q.dtype),
         interpret=interpret,
-    )(q_start, kv_len, qr, k_cache, v_cache)
+    )(*inputs)
 
     return out.reshape(B, K, Sq, G, D).transpose(0, 2, 1, 3, 4).reshape(B, Sq, H, D)
 
 
 def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
               sm_scale: float | None = None, block_q: int = 256,
-              block_kv: int = 256, kernels: str = "auto"):
+              block_kv: int = 256, kernels: str = "auto", k_scale=None,
+              v_scale=None):
     """Flash attention of q against the (already updated) KV cache.
 
     See attention_xla for shapes. ``k_cache``/``v_cache`` must already
     contain the current tokens' K/V at positions [q_start, q_start+len) —
     cache write happens first (ops/kv_cache.py), exactly as the reference
     decode kernel writes the new k,v before attending
-    (decoder_self_attention.cu:126,172).
+    (decoder_self_attention.cu:126,172). Pass ``k_scale``/``v_scale``
+    ([B, K, Skv, 1] f32) for an INT8-quantized cache.
     """
     if not use_pallas(kernels):
         return attention_xla(q, k_cache, v_cache, q_start, kv_len,
-                             causal=causal, sm_scale=sm_scale)
+                             causal=causal, sm_scale=sm_scale,
+                             k_scale=k_scale, v_scale=v_scale)
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
     return _attention_pallas(
         q, k_cache, v_cache,
         q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
-        causal, float(scale), block_q, block_kv, pallas_interpret())
+        causal, float(scale), block_q, block_kv, pallas_interpret(),
+        k_scale=k_scale, v_scale=v_scale)

@@ -22,7 +22,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["greedy_sample", "sample_top_k", "top_k_logits"]
+__all__ = ["greedy_sample", "sample_top_k", "top_k_logits", "sample_tokens",
+           "MAX_TOP_K"]
+
+MAX_TOP_K = 64  # static top-k width; per-slot k masks within it
 
 
 def top_k_logits(logits: jax.Array, k: int):
@@ -57,3 +60,37 @@ def sample_top_k(logits: jax.Array, key: jax.Array, *, temperature: float = 1.0,
     choice = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-30)),
                                     axis=-1)                       # [B]
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def sample_tokens(logits: jax.Array, key: jax.Array, temperature: jax.Array,
+                  top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Per-slot-parameterized sampling (continuous batching: every slot can
+    carry its own request's sampling config, all as runtime arrays — no
+    recompile per request mix).
+
+    logits: [B, V]; temperature/top_k/top_p: [B] (temperature<=0 => greedy).
+    Always draws from the top-MAX_TOP_K candidates, masked down to each
+    slot's k and nucleus p.
+    """
+    K = min(MAX_TOP_K, logits.shape[-1])
+    vals, idx = jax.lax.top_k(logits.astype(jnp.float32), K)       # [B,K]
+    t = temperature[:, None]
+    greedy = t <= 0.0
+    vals_t = vals / jnp.where(greedy, 1.0, t)
+
+    rank = jnp.arange(K)[None, :]
+    keep = rank < jnp.maximum(top_k[:, None], 1)
+    vals_t = jnp.where(keep, vals_t, -jnp.inf)
+    probs = jax.nn.softmax(vals_t, axis=-1)
+
+    # nucleus filter within the K candidates (sorted descending)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_p = (cum - probs) < top_p[:, None]
+    probs = jnp.where(keep_p, probs, 0.0)
+    probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True), 1e-30)
+
+    choice = jax.random.categorical(
+        key, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1)          # [B]
+    choice = jnp.where(greedy[:, 0], 0, choice)                    # argmax row
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(
+        jnp.int32)

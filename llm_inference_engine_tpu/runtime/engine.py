@@ -31,7 +31,8 @@ import numpy as np
 from llm_inference_engine_tpu.config import EngineConfig, ModelConfig, SamplingParams
 from llm_inference_engine_tpu.models import llama as llama_model
 from llm_inference_engine_tpu.ops import kv_cache as kvc
-from llm_inference_engine_tpu.ops.sampling import greedy_sample, sample_top_k
+from llm_inference_engine_tpu.ops.sampling import (
+    greedy_sample, sample_top_k, sample_tokens)
 
 __all__ = ["InferenceEngine", "GenerationResult"]
 
@@ -95,19 +96,19 @@ class InferenceEngine:
         def _prefill(params, cache, token_ids, q_start, kv_len):
             return fwd(params, cache, token_ids, q_start, kv_len)
 
-        @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnames=("sp",))
-        def _decode_step(params, cache, tokens, active, key, sp: SamplingParams):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _decode_step(params, cache, tokens, active, key, temperature,
+                         top_k, top_p):
             q_start = cache.lengths
             kv_len = q_start + active.astype(jnp.int32)
             logits, cache = fwd(params, cache, tokens[:, None], q_start,
                                 kv_len)
-            if sp.greedy or sp.temperature <= 0.0:
-                nxt = greedy_sample(logits)
-            else:
-                nxt = sample_top_k(logits, key, temperature=sp.temperature,
-                                   top_k=sp.top_k, top_p=sp.top_p)
+            nxt = sample_tokens(logits, key, temperature, top_k, top_p)
             return nxt, cache
+
+        @jax.jit
+        def _sample(logits, key, temperature, top_k, top_p):
+            return sample_tokens(logits, key, temperature, top_k, top_p)
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("num_steps",))
@@ -131,6 +132,7 @@ class InferenceEngine:
         self._prefill_fn = _prefill
         self._decode_fn = _decode_step
         self._rollout_fn = _decode_rollout
+        self._sample_fn = _sample
 
     # ------------------------------------------------------------------
     # low-level API
@@ -142,30 +144,39 @@ class InferenceEngine:
             self.cache = dataclasses.replace(
                 self.cache, lengths=jnp.zeros_like(self.cache.lengths))
         else:
-            lengths = np.asarray(self.cache.lengths)
+            lengths = np.array(self.cache.lengths)  # writable copy
             lengths[list(slots)] = 0
             self.cache = dataclasses.replace(
                 self.cache, lengths=jnp.asarray(lengths))
 
-    def prefill(self, prompts: Sequence[Sequence[int]]):
-        """Prefill prompt token ids into slots [0, len(prompts)).
+    def prefill(self, prompts: Sequence[Sequence[int]],
+                slots: Optional[Sequence[int]] = None):
+        """Prefill prompt token ids into ``slots`` (default [0, len)).
 
         Appends to any existing history in those slots (multi-round chat:
         the reference reran its context decoder over accumulated history
         text, llama.cpp:137-155; here only the *new* tokens are prefilled
-        on top of the cached rounds). Returns last-token logits [B, V].
+        on top of the cached rounds). Slots not listed are untouched: their
+        rows run with zero new tokens, whose cache writes land beyond their
+        valid lengths and are overwritten before ever being attended.
+        Returns last-token logits [B, V] (rows for untouched slots are
+        don't-care).
         """
         eng = self.engine_config
         B = eng.max_batch_size
-        if len(prompts) > B:
-            raise ValueError(f"{len(prompts)} prompts > {B} slots")
+        if slots is None:
+            slots = list(range(len(prompts)))
+        if len(prompts) > B or len(slots) != len(prompts):
+            raise ValueError(f"{len(prompts)} prompts > {B} slots"
+                             if len(prompts) > B else
+                             f"{len(slots)} slots for {len(prompts)} prompts")
         max_len = max(len(p) for p in prompts)
         T = _bucket_len(max_len, cap=eng.max_seq_len)
         token_ids = np.zeros((B, T), np.int32)
         new_len = np.zeros((B,), np.int32)
-        for i, p in enumerate(prompts):
-            token_ids[i, :len(p)] = np.asarray(p, np.int32)
-            new_len[i] = len(p)
+        for slot, p in zip(slots, prompts):
+            token_ids[slot, :len(p)] = np.asarray(p, np.int32)
+            new_len[slot] = len(p)
         q_start = self.cache.lengths
         kv_len = q_start + jnp.asarray(new_len)
         logits, self.cache = self._prefill_fn(
@@ -173,12 +184,32 @@ class InferenceEngine:
         self.cache = dataclasses.replace(self.cache, lengths=kv_len)
         return logits
 
-    def decode_step(self, tokens, active, sp: SamplingParams):
-        """One decode step over all slots. tokens/active: [B] device or np."""
+    def _sampling_arrays(self, sp: SamplingParams):
+        B = self.engine_config.max_batch_size
+        t = 0.0 if sp.greedy else sp.temperature
+        return (jnp.full((B,), t, jnp.float32),
+                jnp.full((B,), sp.top_k, jnp.int32),
+                jnp.full((B,), sp.top_p, jnp.float32))
+
+    def sample(self, logits, temperature, top_k, top_p):
+        """Sample token ids from logits with per-slot params [B]."""
+        self._key, sub = jax.random.split(self._key)
+        return self._sample_fn(logits, sub, jnp.asarray(temperature),
+                               jnp.asarray(top_k), jnp.asarray(top_p))
+
+    def decode_step(self, tokens, active, sp_or_arrays):
+        """One decode step over all slots. tokens/active: [B] device or np.
+        ``sp_or_arrays``: a SamplingParams (uniform) or a (temperature,
+        top_k, top_p) triple of per-slot [B] arrays."""
+        if isinstance(sp_or_arrays, SamplingParams):
+            temp, topk, topp = self._sampling_arrays(sp_or_arrays)
+        else:
+            temp, topk, topp = (jnp.asarray(a) for a in sp_or_arrays)
         self._key, sub = jax.random.split(self._key)
         active = jnp.asarray(active)
         nxt, self.cache = self._decode_fn(
-            self.params, self.cache, jnp.asarray(tokens), active, sub, sp)
+            self.params, self.cache, jnp.asarray(tokens), active, sub,
+            temp, topk, topp)
         return nxt
 
     def decode_rollout(self, tokens, num_steps: int):
@@ -208,13 +239,8 @@ class InferenceEngine:
         B = self.engine_config.max_batch_size
 
         first_logits = self.prefill(prompts)
-        if sampling.greedy or sampling.temperature <= 0.0:
-            tokens = greedy_sample(first_logits)
-        else:
-            self._key, sub = jax.random.split(self._key)
-            tokens = sample_top_k(first_logits, sub,
-                                  temperature=sampling.temperature,
-                                  top_k=sampling.top_k, top_p=sampling.top_p)
+        temp, topk, topp = self._sampling_arrays(sampling)
+        tokens = self.sample(first_logits, temp, topk, topp)
 
         stop_ids = set(sampling.stop_token_ids)
         if eos_token_id is not None:

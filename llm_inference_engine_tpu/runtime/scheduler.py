@@ -1,0 +1,173 @@
+"""Continuous batching scheduler.
+
+The capability the reference explicitly lacked: its batch size is pinned to
+1 (reference: llama.h:31) and one request owns the whole engine for its
+lifetime. Here the engine exposes ``max_batch_size`` static slots and this
+scheduler multiplexes an open-ended request stream onto them:
+
+- admission: free slots are filled from the waiting queue; the admitted
+  prompts are prefilled *into their slots* in one batched call while other
+  slots keep decoding state untouched (slot-targeted prefill writes past
+  live slots' frontiers, which the next decode step overwrites — see
+  InferenceEngine.prefill);
+- every step all live slots decode together, each with its own sampling
+  parameters (per-slot temperature/top-k/top-p arrays — no recompile per
+  request mix);
+- completion: EOS, per-request max_new_tokens, or cache-capacity exhaustion
+  frees the slot for the next admission.
+
+All shapes stay static (JAX requirement): variable load changes array
+*contents* (active mask, lengths), never shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from collections import deque
+from typing import Callable, Iterable, Optional, Sequence
+
+import numpy as np
+
+from llm_inference_engine_tpu.config import SamplingParams
+
+__all__ = ["Request", "ContinuousBatchingScheduler"]
+
+
+@dataclasses.dataclass
+class Request:
+    id: int
+    prompt_ids: list[int]
+    sampling: SamplingParams
+    stream_callback: Optional[Callable[[int], None]] = None
+    output_ids: list[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+    finish_reason: str = ""           # eos | length | capacity | rejected
+    slot: int = -1
+
+
+class ContinuousBatchingScheduler:
+    def __init__(self, engine, eos_token_id: Optional[int] = 2):
+        self.engine = engine
+        self.eos_token_id = eos_token_id
+        self.B = engine.engine_config.max_batch_size
+        self.max_seq = engine.engine_config.max_seq_len
+        self.waiting: deque[Request] = deque()
+        self.slots: list[Optional[Request]] = [None] * self.B
+        self._ids = itertools.count()
+        # per-slot decoding state (host mirrors)
+        self._last_token = np.zeros((self.B,), np.int32)
+        self._temp = np.zeros((self.B,), np.float32)
+        self._topk = np.ones((self.B,), np.int32)
+        self._topp = np.ones((self.B,), np.float32)
+
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt_ids: Sequence[int],
+               sampling: SamplingParams = SamplingParams(),
+               stream_callback: Optional[Callable[[int], None]] = None
+               ) -> Request:
+        req = Request(id=next(self._ids), prompt_ids=list(prompt_ids),
+                      sampling=sampling, stream_callback=stream_callback)
+        if len(req.prompt_ids) >= self.max_seq:
+            req.finished = True
+            req.finish_reason = "rejected"
+        else:
+            self.waiting.append(req)
+        return req
+
+    @property
+    def num_active(self) -> int:
+        return sum(r is not None for r in self.slots)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting) or self.num_active > 0
+
+    # ------------------------------------------------------------------
+
+    def _stop_set(self, req: Request) -> set[int]:
+        s = set(req.sampling.stop_token_ids)
+        if self.eos_token_id is not None:
+            s.add(self.eos_token_id)
+        return s
+
+    def _admit(self) -> list[Request]:
+        free = [i for i, r in enumerate(self.slots) if r is None]
+        admitted: list[Request] = []
+        while free and self.waiting:
+            req = self.waiting.popleft()
+            slot = free.pop(0)
+            req.slot = slot
+            self.slots[slot] = req
+            self._temp[slot] = (0.0 if req.sampling.greedy
+                                else req.sampling.temperature)
+            self._topk[slot] = req.sampling.top_k
+            self._topp[slot] = req.sampling.top_p
+            admitted.append(req)
+        if not admitted:
+            return []
+
+        self.engine.reset([r.slot for r in admitted])
+        logits = self.engine.prefill([r.prompt_ids for r in admitted],
+                                     slots=[r.slot for r in admitted])
+        first = np.asarray(self.engine.sample(
+            logits, self._temp, self._topk, self._topp))
+        for req in admitted:
+            self._accept_token(req, int(first[req.slot]))
+        return admitted
+
+    def _accept_token(self, req: Request, token: int) -> None:
+        if token in self._stop_set(req):
+            self._finish(req, "eos")
+            return
+        req.output_ids.append(token)
+        self._last_token[req.slot] = token
+        if req.stream_callback is not None:
+            req.stream_callback(token)
+        if len(req.output_ids) >= req.sampling.max_new_tokens:
+            self._finish(req, "length")
+        elif (len(req.prompt_ids) + len(req.output_ids) >= self.max_seq - 1):
+            self._finish(req, "capacity")
+
+    def _finish(self, req: Request, reason: str) -> None:
+        req.finished = True
+        req.finish_reason = req.finish_reason or reason
+        if req.slot >= 0:
+            self.slots[req.slot] = None
+            req.slot = -1
+
+    # ------------------------------------------------------------------
+
+    def step(self) -> list[Request]:
+        """Admit + one decode step. Returns requests finished this step."""
+        before = [r for r in self.slots if r is not None]
+        done: list[Request] = []
+
+        admitted = self._admit()
+        done += [r for r in admitted if r.finished]
+
+        active_mask = np.array([r is not None and not r.finished
+                                for r in self.slots], bool)
+        if active_mask.any():
+            nxt = np.asarray(self.engine.decode_step(
+                self._last_token, active_mask,
+                (self._temp, self._topk, self._topp)))
+            for slot in np.nonzero(active_mask)[0]:
+                req = self.slots[slot]
+                if req is not None:
+                    self._accept_token(req, int(nxt[slot]))
+
+        done += [r for r in before + admitted
+                 if r.finished and r not in done]
+        return done
+
+    def run(self, max_steps: int = 1_000_000) -> list[Request]:
+        """Drive until all submitted work completes; returns finished
+        requests in completion order."""
+        finished: list[Request] = []
+        for _ in range(max_steps):
+            if not self.has_work:
+                break
+            finished += self.step()
+        return finished

@@ -1,0 +1,75 @@
+"""Multi-round chat session over one engine slot.
+
+Capability parity with the reference's conversation plumbing:
+- ``makeInput`` / ``makeHistory`` (reference: llama.cpp:137-155) concatenate
+  history *text* and re-feed the full context every round; this session
+  instead keeps history in the KV cache (the reference also kept the cache
+  across rounds via ``step``; here it is the only copy) and prefills only
+  each round's new tokens;
+- the streaming CallBack protocol (reference: basemodel.h:12,
+  user_entry.cpp:25-37: index 0 first chunk / >0 continuation / -1 end).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from llm_inference_engine_tpu.config import SamplingParams
+
+__all__ = ["ChatSession"]
+
+
+class ChatSession:
+    def __init__(self, engine, tokenizer, slot: int = 0,
+                 system_prompt: str = ""):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.slot = slot
+        self.round = 0
+        self.token_history: list[int] = []
+        self.system_prompt = system_prompt
+
+    def reset(self):
+        self.engine.reset([self.slot])
+        self.round = 0
+        self.token_history = []
+
+    def make_input(self, user_input: str) -> list[int]:
+        """Round-0 includes the system prompt; later rounds only the new
+        turn (history lives in the KV cache)."""
+        text = user_input
+        if self.round == 0 and self.system_prompt:
+            text = self.system_prompt + text
+        return self.tokenizer.encode(text, add_bos=(self.round == 0))
+
+    def response(self, user_input: str,
+                 sampling: SamplingParams = SamplingParams(),
+                 callback: Optional[Callable[[int, str], None]] = None) -> str:
+        """Generate one reply, streaming text chunks through ``callback``
+        (reference CallBack index protocol: 0 first, >0 next, -1 done)."""
+        input_ids = self.make_input(user_input)
+        prompt_history = self.token_history + input_ids
+
+        pieces: list[str] = []
+
+        def on_token(_slot: int, token_id: int) -> None:
+            ids_so_far = prompt_history + [
+                tid for tid in gen_ids]
+            text = self.tokenizer.decode_incremental(ids_so_far, token_id)
+            gen_ids.append(token_id)
+            if callback is not None:
+                callback(len(pieces), text)
+            pieces.append(text)
+
+        gen_ids: list[int] = []
+        result = self.engine.generate(
+            [input_ids], sampling,
+            eos_token_id=getattr(self.tokenizer, "eos_id", 2),
+            stream_callback=on_token)
+        if callback is not None:
+            callback(-1, "")
+
+        out_ids = result.token_ids[0]
+        self.token_history = prompt_history + out_ids
+        self.round += 1
+        return "".join(pieces)
