@@ -204,23 +204,28 @@ def param_bytes(params: Params) -> int:
 # ---------------------------------------------------------------------------
 
 def _hf_tensor_reader(path: str) -> Callable[[str], np.ndarray]:
-    """Returns name -> np.ndarray over all *.safetensors files in a dir."""
-    from safetensors import safe_open
+    """Returns name -> np.ndarray over all *.safetensors files in a dir.
+
+    Uses the native C++ loader (csrc/weight_loader.cc: parallel pread +
+    threaded cast/transpose) — the TPU-side equivalent of the reference's
+    C++ weight loader (weight_utils.cu:132-229). ``read(name,
+    transpose=True, dtype=...)`` fuses the [out, in] -> [in, out]
+    canonicalization and dtype cast into the native read."""
+    from llm_inference_engine_tpu.runtime.native_io import SafeTensorsFile
 
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path)
         if f.endswith(".safetensors"))
     if not files:
         raise FileNotFoundError(f"no .safetensors files under {path}")
-    index: dict[str, str] = {}
+    index: dict[str, SafeTensorsFile] = {}
     for f in files:
-        with safe_open(f, framework="np") as sf:
-            for name in sf.keys():
-                index[name] = f
+        sf = SafeTensorsFile(f)
+        for name in sf.names:
+            index[name] = sf
 
-    def read(name: str) -> np.ndarray:
-        with safe_open(index[name], framework="np") as sf:
-            return sf.get_tensor(name)
+    def read(name: str, dtype=None, transpose: bool = False) -> np.ndarray:
+        return index[name].get(name, dtype=dtype, transpose=transpose)
 
     read.names = set(index)  # type: ignore[attr-defined]
     return read
@@ -239,10 +244,11 @@ def load_hf_safetensors(config: ModelConfig, path: str,
     names = read.names
 
     def get(name: str) -> np.ndarray:
-        return read(name).astype(np.float32)
+        return read(name, dtype=np.float32)
 
     def linear_w(name: str) -> np.ndarray:
-        return get(name).T  # HF [out, in] -> [in, out]
+        # HF [out, in] -> [in, out], transposed+cast in native threads
+        return read(name, dtype=np.float32, transpose=True)
 
     L = config.num_layers
     wqkv, wo, wgu, wdn, anorm, fnorm = [], [], [], [], [], []
@@ -300,10 +306,12 @@ def load_reference_bin(config: ModelConfig, path: str,
 
     def rd(name: str, shape) -> np.ndarray:
         fn = os.path.join(path, name + ".bin")
-        arr = np.fromfile(fn, dtype=np.float32)
-        if arr.size != int(np.prod(shape)):
-            raise ValueError(f"{fn}: expected {shape}, got {arr.size} elems")
-        return arr.reshape(shape)
+        expected = int(np.prod(shape)) * 4
+        if os.path.getsize(fn) != expected:
+            raise ValueError(f"{fn}: expected {expected} bytes "
+                             f"({shape} f32), got {os.path.getsize(fn)}")
+        from llm_inference_engine_tpu.runtime.native_io import read_bin_tensor
+        return read_bin_tensor(fn, shape, "float32")
 
     Hd, L = config.hidden_size, config.num_layers
     layers: dict[str, list] = {k: [] for k in (
