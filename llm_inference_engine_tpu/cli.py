@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--greedy", action="store_true")
+    p.add_argument("--beams", type=int, default=0,
+                   help="beam-search width (0 = sampling; beams>1 decodes "
+                        "each turn with beam search, no streaming)")
+    p.add_argument("--length-penalty", type=float, default=1.0)
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--max-batch-size", type=int, default=1)
     p.add_argument("--quant", choices=["none", "int8", "int4"],
@@ -126,7 +130,13 @@ def main(argv=None) -> int:
             continue
         if not line.strip():
             continue
-        session.response(line, sampling, cb)
+        if args.beams > 1:
+            session.response_beam(line, num_beams=args.beams,
+                                  max_new_tokens=args.max_new_tokens,
+                                  length_penalty=args.length_penalty,
+                                  callback=cb)
+        else:
+            session.response(line, sampling, cb)
     return 0
 
 

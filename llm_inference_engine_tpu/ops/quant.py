@@ -287,6 +287,17 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
         bk = k_in if k_in <= 512 else 512
     bm = m if m <= 256 else 256
     bn = n if n <= 512 else 512
+
+    def tile_ok(block, full, lane=False):
+        """Mosaic block rule: last two dims divisible by (8, 128) or equal
+        to the full array dim."""
+        return block == full or block % (128 if lane else 8) == 0
+
+    feasible = (tile_ok(bm, m) and tile_ok(bn, n, lane=True)
+                and tile_ok(bk, k_in, lane=True)
+                and (t.mode != "int4" or tile_ok(bk // 2, t.q.shape[0])))
+    if not feasible:  # tiny/debug shapes: XLA path (still fused by XLA)
+        return quantized_linear_xla(x, t, bias, out_dtype)
     y = _quantized_matmul_pallas(
         x2, t.q, t.scale.astype(jnp.float32), t.mode, t.group_size,
         jnp.dtype(out_dtype), bm, bn, bk, pallas_interpret())

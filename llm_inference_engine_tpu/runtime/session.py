@@ -73,3 +73,40 @@ class ChatSession:
         self.token_history = prompt_history + out_ids
         self.round += 1
         return "".join(pieces)
+
+    def response_beam(self, user_input: str, num_beams: int = 4,
+                      max_new_tokens: int = 64, length_penalty: float = 1.0,
+                      callback: Optional[Callable[[int, str], None]] = None
+                      ) -> str:
+        """Generate one reply with beam search (no streaming: the winning
+        beam is only known at the end; the callback receives the final text
+        as one chunk). Beam search replays the full token history as its
+        prompt — beams own their private KV caches — then re-prefills the
+        winning turn into this session's engine slot so sampled rounds can
+        continue from it."""
+        from llm_inference_engine_tpu.runtime.beam_search import beam_search
+        input_ids = self.make_input(user_input)
+        prompt_history = self.token_history + input_ids
+
+        res = beam_search(
+            self.engine.config, self.engine.engine_config, self.engine.params,
+            prompt_history, num_beams=num_beams,
+            max_new_tokens=max_new_tokens,
+            eos_token_id=getattr(self.tokenizer, "eos_id", 2),
+            length_penalty=length_penalty)
+        out_ids = res.sequences[0]
+        # decode the whole reply relative to the history
+        full = self.tokenizer.decode(prompt_history + out_ids)
+        base = self.tokenizer.decode(prompt_history)
+        text = full[len(base):] if full.startswith(base) else \
+            self.tokenizer.decode(out_ids)
+        if callback is not None:
+            callback(0, text)
+            callback(-1, "")
+
+        # resync the engine slot: replay this round into the live cache
+        self.engine.reset([self.slot])
+        self.engine.prefill([prompt_history + out_ids], slots=[self.slot])
+        self.token_history = prompt_history + out_ids
+        self.round += 1
+        return text
