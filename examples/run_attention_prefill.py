@@ -24,8 +24,8 @@ B, Sq, H, K, D, Skv = 2, 16, 8, 4, 32, 64
 key = jax.random.PRNGKey(0)
 kq, kk, kv = jax.random.split(key, 3)
 q = jax.random.normal(kq, (B, Sq, H, D), jnp.float32)
-k_cache = jax.random.normal(kk, (B, K, Skv, D), jnp.float32)
-v_cache = jax.random.normal(kv, (B, K, Skv, D), jnp.float32)
+k_cache = jax.random.normal(kk, (B, Skv, K, D), jnp.float32)
+v_cache = jax.random.normal(kv, (B, Skv, K, D), jnp.float32)
 
 # ragged: sequence 0 has 5 tokens of history + 16 new; sequence 1 has 0 + 9
 q_start = jnp.array([5, 0], jnp.int32)

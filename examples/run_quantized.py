@@ -31,7 +31,9 @@ for mode in ("int8", "int4"):
     report(f"{mode} fused dequant-matmul", err < 1e-3,
            f"kernel-vs-dequant err {err:.2e} (quantization err {qerr:.2e})")
 
-# --- model level: quantized generation matches fp closely ---
+# --- model level: quantized logits stay close to fp (token trajectories
+# on a *random* model are chaotic, so the meaningful check is the logit
+# gap on the same prefix, the same thing the PPL delta gate measures) ---
 cfg = get_config("debug")
 params = init_dummy_params(cfg, seed=0, scale=0.3)
 p_int8 = quantize_params(params, "int8", group_size=32)
@@ -40,9 +42,12 @@ fp = InferenceEngine(cfg, EngineConfig(max_batch_size=1, max_seq_len=64),
                      params)
 q8 = InferenceEngine(cfg, EngineConfig(max_batch_size=1, max_seq_len=64,
                                        quant_mode="int8"), p_int8)
-sp = SamplingParams(greedy=True, max_new_tokens=8)
-a = fp.generate([[1, 17, 93, 5]], sp, eos_token_id=None).token_ids[0]
-b = q8.generate([[1, 17, 93, 5]], sp, eos_token_id=None).token_ids[0]
-agree = sum(x == y for x, y in zip(a, b))
-report("int8 model greedy decode tracks fp", agree >= 6,
-       f"{agree}/8 tokens agree (fp {a} vs int8 {b})")
+prompt = [[1, 17, 93, 5]]
+la = fp.prefill(prompt)
+lb = q8.prefill(prompt)
+pa = jax.nn.softmax(la.astype(jnp.float32), -1)
+pb = jax.nn.softmax(lb.astype(jnp.float32), -1)
+tv = float(0.5 * jnp.abs(pa - pb).sum(-1).max())   # total-variation distance
+report("int8 model logits track fp", tv < 0.2,
+       f"max TV distance {tv:.4f}, argmax agree: "
+       f"{bool((pa.argmax(-1) == pb.argmax(-1)).all())}")

@@ -156,10 +156,11 @@ class EngineConfig:
     tp: int = 1
     # kernel selection: "pallas" on TPU, "xla" pure-jnp fallback, "auto" picks
     kernels: str = "auto"
-    # pallas attention block sizes
-    block_q: int = 256
-    block_kv: int = 256
-    decode_block_kv: int = 256
+    # pallas attention block sizes (VMEM-bounded: the all-heads kernel
+    # holds [K, bq, D] accumulators and [bk, K, D] kv blocks)
+    block_q: int = 128
+    block_kv: int = 128
+    decode_block_kv: int = 128
 
     @property
     def kv_cache_dtype(self):

@@ -11,15 +11,20 @@ Capability parity with the reference's layer/model compute tier:
 - LM head on the last valid token only (reference: llama.cpp:260-318
   slices the final token before the lm_head GEMM).
 
-TPU design: the 32-layer loop is a single ``lax.scan`` over stacked layer
-weights (one compiled layer body — the reference recompiled nothing but
-re-launched ~15 kernels per layer per step); the KV cache flows through the
-scan as per-layer xs/ys so the whole cache updates functionally and XLA
-aliases it in place under buffer donation.
+TPU design: the 32-layer loop is a single ``lax.scan`` (one compiled layer
+body — the reference recompiled nothing but re-launched ~15 kernels per
+layer per step). Only small per-layer tensors (norm gains, unquantized
+weights) ride the scan xs; the two multi-GB structures — quantized weights
+and the KV cache — stay WHOLE, with the layer index delivered to the Pallas
+kernels via scalar prefetch. Both were measured to matter: per-layer cache
+slices through xs/ys cost a full cache copy per decode step, and per-layer
+quantized-weight slices forced XLA to materialize multi-GB relayout temps
+(OOM at 7B). See benchmarks/bench_ops.py.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, NamedTuple
 
@@ -38,13 +43,21 @@ from llm_inference_engine_tpu.ops.rope import split_qkv_rope
 __all__ = ["decoder_forward", "forward_hidden", "lm_head_logits"]
 
 
-def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, k_layer,
-                v_layer, positions, q_start, kv_len, model_axis=None,
-                ks_layer=None, vs_layer=None):
-    """One decoder layer. x: [B, T, H]; k/v_layer: [B, K, S, D].
+def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
+                cache: kvc.KVCache, positions, q_start, kv_len,
+                model_axis=None, kv_hi=None):
+    """One decoder layer. x: [B, T, H]; cache holds the full stacked
+    [L, B, K, S, D] arrays — this layer reads/writes slice ``layer_idx``.
 
     Kernel sequence mirrors the reference contract
     (context_attention.cpp:144-304, ffn.cpp:77-140, self_decoder.cpp:69-119).
+
+    Cache dataflow is the hot design point: the write is a tiny
+    dynamic_update_slice into the 5-D array (in place under donation) and
+    the attention kernel reads layer-indexed blocks straight out of the
+    full array via scalar prefetch. Passing per-layer cache slices through
+    the scan instead (xs/ys) was measured at 36 ms/step for a 4 GB cache —
+    a full cache copy every token (benchmarks/bench_ops.py --cache).
 
     Under tensor parallelism (``model_axis`` set, used inside shard_map) the
     row-sharded o/down projections produce partial sums reduced with one
@@ -52,85 +65,102 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, k_layer,
     """
     kernels = eng.kernels
     B, T, _ = x.shape
+    stacked = layer.get("__stacked__", {})
 
     def reduce_partial(y):
         if model_axis is None:
             return y
         return jax.lax.psum(y, model_axis)
 
+    def lin(name, inp):
+        """Matmul against weight ``name``: stacked quantized weights stay
+        whole (kernel reads layer-indexed blocks via scalar prefetch —
+        slicing them per layer re-layouts GBs in HBM, ops/quant.py);
+        everything else arrives already layer-sliced by the scan."""
+        if name in stacked:
+            return linear(inp, stacked[name], kernels=kernels,
+                          layer=layer_idx)
+        return linear(inp, layer[name], kernels=kernels)
+
     # pre-attention rmsnorm (residual = x itself; the reference's rmsnorm
     # copies input to a residual buffer, rmsnorm.cu:55 — functionally free here)
     h_norm = rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps, kernels=kernels)
 
     # fused QKV projection (packed, layer_weights.cpp:28)
-    qkv = linear(h_norm, layer["wqkv"], kernels=kernels)
+    qkv = lin("wqkv", h_norm)
     q, k_new, v_new = split_qkv_rope(
         qkv, positions, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
         cfg.rope_theta, cfg.rope_scaling, kernels=kernels)
 
     # cache write before attend (decoder_self_attention.cu:126,172 semantics)
-    k_layer, v_layer, ks_layer, vs_layer = kvc.update_layer_cache(
-        k_layer, v_layer, k_new, v_new, q_start, ks_layer, vs_layer)
+    cache = kvc.update_cache_at_layer(cache, layer_idx, k_new, v_new, q_start,
+                                      new_len=kv_len - q_start,
+                                      kernels=kernels)
 
-    attn_out = attention(q, k_layer, v_layer, q_start, kv_len,
+    attn_out = attention(q, cache.k, cache.v, q_start, kv_len,
                          causal=True, block_q=eng.block_q,
                          block_kv=eng.block_kv, kernels=kernels,
-                         k_scale=ks_layer, v_scale=vs_layer)
+                         k_scale=cache.k_scale, v_scale=cache.v_scale,
+                         layer=layer_idx, kv_hi=kv_hi)
     attn_out = attn_out.reshape(B, T, cfg.q_size)
-    attn_out = reduce_partial(linear(attn_out, layer["wo"], kernels=kernels))
+    attn_out = reduce_partial(lin("wo", attn_out))
 
     # fused add-residual + rmsnorm into the FFN (add_residual_and_rmsnorm.cu)
     ffn_in, resid = add_residual_rmsnorm(
         attn_out, x, layer["ffn_norm"], cfg.rms_norm_eps, kernels=kernels)
 
     # FFN: packed gate|up matmul -> SwiGLU -> down (ffn.cpp:105-132)
-    gate_up = linear(ffn_in, layer["w_gate_up"], kernels=kernels)
+    gate_up = lin("w_gate_up", ffn_in)
     act = silu_and_mul(gate_up, kernels=kernels)
-    down = reduce_partial(linear(act, layer["w_down"], kernels=kernels))
+    down = reduce_partial(lin("w_down", act))
 
     x_out = add_residual(down, resid, kernels=kernels)
-    return x_out, k_layer, v_layer, ks_layer, vs_layer
+    return x_out, cache
 
 
 def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
-                    cache: kvc.KVCache, q_start, kv_len, model_axis=None):
+                    cache: kvc.KVCache, q_start, kv_len, model_axis=None,
+                    kv_hi=None):
     """Run all decoder layers. Returns (hidden [B,T,H], updated KVCache).
 
     token_ids: [B, T] int32 (prefill: padded prompt chunk; decode: T=1)
     q_start:   [B] write/attend offset (history length per slot)
     kv_len:    [B] total valid kv after this call (q_start + actual new)
+
+    The layer loop is one ``lax.scan`` over stacked layer weights; the
+    cache rides the carry (whole, never sliced per layer) so its buffers
+    stay in place under donation.
     """
     B, T = token_ids.shape
+    L = cfg.num_layers
     positions = q_start[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
 
     x = embedding_lookup(params["embed"], token_ids, kernels=eng.kernels)
     x = x.astype(cfg.dtype)
 
-    if cache.quantized:
-        def body(x_carry, xs):
-            layer, k_layer, v_layer, ks_layer, vs_layer = xs
-            x_out, k_out, v_out, ks_out, vs_out = _layer_step(
-                cfg, eng, x_carry, layer, k_layer, v_layer, positions,
-                q_start, kv_len, model_axis=model_axis, ks_layer=ks_layer,
-                vs_layer=vs_layer)
-            return x_out, (k_out, v_out, ks_out, vs_out)
+    # quantized stacked weights never enter the scan xs (the per-layer
+    # slice would force multi-GB relayout copies); they are closed over
+    # whole and indexed inside the matmul kernels by layer
+    from llm_inference_engine_tpu.ops.quant import QuantizedTensor
+    xs_layers = {k: v for k, v in params["layers"].items()
+                 if not isinstance(v, QuantizedTensor)}
+    stacked = {k: v for k, v in params["layers"].items()
+               if isinstance(v, QuantizedTensor)}
 
-        x, (k_cache, v_cache, ks_cache, vs_cache) = jax.lax.scan(
-            body, x, (params["layers"], cache.k, cache.v, cache.k_scale,
-                      cache.v_scale))
-        new_cache = kvc.KVCache(k=k_cache, v=v_cache, lengths=kv_len,
-                                k_scale=ks_cache, v_scale=vs_cache)
-    else:
-        def body(x_carry, xs):
-            layer, k_layer, v_layer = xs
-            x_out, k_out, v_out, _, _ = _layer_step(
-                cfg, eng, x_carry, layer, k_layer, v_layer, positions,
-                q_start, kv_len, model_axis=model_axis)
-            return x_out, (k_out, v_out)
+    def body(carry, xs):
+        x_carry, cache = carry
+        layer, layer_idx = xs
+        layer = dict(layer)
+        layer["__stacked__"] = stacked
+        x_out, cache = _layer_step(
+            cfg, eng, x_carry, layer, layer_idx, cache, positions,
+            q_start, kv_len, model_axis=model_axis, kv_hi=kv_hi)
+        return (x_out, cache), None
 
-        x, (k_cache, v_cache) = jax.lax.scan(
-            body, x, (params["layers"], cache.k, cache.v))
-        new_cache = kvc.KVCache(k=k_cache, v=v_cache, lengths=kv_len)
+    (x, cache), _ = jax.lax.scan(
+        body, (x, cache),
+        (xs_layers, jnp.arange(L, dtype=jnp.int32)))
+    new_cache = dataclasses.replace(cache, lengths=kv_len)
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps, kernels=eng.kernels)
     return x, new_cache
@@ -143,14 +173,14 @@ def lm_head_logits(cfg: ModelConfig, eng: EngineConfig, params, hidden_last):
 
 
 def forward_hidden(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
-                   cache, q_start, kv_len):
+                   cache, q_start, kv_len, kv_hi=None):
     """decoder_forward + last-valid-token slice -> (logits [B,V], cache).
 
     The last valid token of sequence b sits at padded index
     kv_len[b]-q_start[b]-1 (reference slices it at llama.cpp:264-269).
     """
     hidden, cache = decoder_forward(cfg, eng, params, token_ids, cache,
-                                    q_start, kv_len)
+                                    q_start, kv_len, kv_hi=kv_hi)
     B, T, H = hidden.shape
     last_idx = jnp.clip(kv_len - q_start - 1, 0, T - 1)           # [B]
     hidden_last = jnp.take_along_axis(

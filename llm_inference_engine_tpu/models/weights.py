@@ -126,9 +126,9 @@ def init_dummy_quantized_params(config: ModelConfig, mode: str = "int8",
             q = _pack_int4(rows, group_size)
             s = jnp.full((in_dim // group_size, out_dim), scale / 7.0,
                          jnp.float32)
-        if len(out_shape) > 1:
-            q = q.reshape(q.shape[0], *out_shape)
-            s = s.reshape(s.shape[0], *out_shape)
+        if len(out_shape) > 1:  # gate|up: [2, in', I] stacked layout
+            q = q.reshape(q.shape[0], *out_shape).transpose(1, 0, 2)
+            s = s.reshape(s.shape[0], *out_shape).transpose(1, 0, 2)
         return q, s
 
     def qstack(k, in_dim, out_shape):
@@ -176,8 +176,11 @@ def quantize_params(params: Params, mode: str = "int8",
             t = quantize_tensor(w[l], mode, group_size)
             q, s = t.q, t.scale
             if structured:
-                q = q.reshape(q.shape[0], 2, -1)
-                s = s.reshape(s.shape[0], 2, -1)
+                # stacked-quantized layout [2, in', I] (the 2-axis leads so
+                # the layer-prefetch matmul kernel's blocks stay legal —
+                # ops/quant.py stacked path)
+                q = q.reshape(q.shape[0], 2, -1).transpose(1, 0, 2)
+                s = s.reshape(s.shape[0], 2, -1).transpose(1, 0, 2)
             qs.append(q)
             ss.append(s)
         layers[name] = QuantizedTensor(

@@ -9,18 +9,33 @@ One kernel replaces the reference's entire attention compute chain:
   materialized [bs, max_q, max_k] causal mask
   (src/kernels/build_causal_mask.cu:25-42);
 - decode: the fused masked multi-head attention over the cache
-  (reference: src/kernels/decoder_self_attention.cu:211-270).
+  (reference: src/kernels/decoder_self_attention.cu:211-270) — the Sq=1
+  case of the same kernel.
 
-TPU design. Queries are regrouped as [B, K_heads, Sq*G, D] so every MXU tile
-serves one KV head and all its G query heads — GQA without materializing
-repeated K/V, and decode (Sq=1) is just the G-row case of the same kernel.
-The kv axis is the innermost grid dimension with f32 online-softmax state in
-VMEM scratch (the reference instead used a per-block shared-memory softmax
-with full-row logits, decoder_self_attention.cu:128-165). Per-sequence
-``q_start``/``kv_len`` arrive via scalar prefetch and drive (a) the causal /
-length mask computed from iota (never materialized in HBM) and (b) compute
-skipping for fully-masked kv blocks. Softmax numerics: running max-subtracted
-accumulation, exactly online; rows with zero valid keys yield 0, not NaN.
+TPU design, shaped by three hardware facts learned the hard way (see
+benchmarks/bench_ops.py):
+
+1. **Token-major cache layout [L, B, S, K, D]** (NOT head-major [.., K, S,
+   D]): the token axis S sits outside the last-two tiled dims, so the
+   per-token cache write can DMA to an arbitrary sequence position (Mosaic
+   refuses dynamic sublane-unaligned indices into tiled dims), and one
+   sequence's KV stream is fully contiguous in HBM.
+2. **One grid step serves ALL kv heads**: blocks are [bk, K, D] and the
+   q@K/P@V products run as K-batched dots. A per-(batch, head) grid at
+   decode (Sq=1) pays thousands of tiny grid steps per layer — grid
+   overhead alone exceeded the HBM roofline several times over.
+3. **The stacked [L, ...] cache is read in place**: the layer index arrives
+   via scalar prefetch and steers the BlockSpec index_map; slicing
+   ``cache[l]`` in XLA would materialize a 134 MB copy per layer. A static
+   ``kv_hi`` watermark bounds the grid: pl.when skips compute but NOT the
+   automatic block DMA, so without it every decode step streams the whole
+   multi-GB cache.
+
+Per-sequence ``q_start``/``kv_len`` arrive via scalar prefetch and drive the
+causal/length mask computed from iota (never materialized in HBM) plus
+compute-skipping for fully-masked kv blocks. Softmax numerics: running
+max-subtracted accumulation, exactly online; rows with zero valid keys
+yield 0, not NaN (the reference's softmax would NaN on an empty row).
 """
 
 from __future__ import annotations
@@ -33,7 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llm_inference_engine_tpu.utils import cdiv, pallas_interpret, use_pallas
+from llm_inference_engine_tpu.utils import (cdiv, pallas_interpret, round_up,
+                                            use_pallas)
 
 __all__ = ["attention", "attention_xla"]
 
@@ -45,18 +61,30 @@ _NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
-                  sm_scale: float | None = None, k_scale=None, v_scale=None):
+                  sm_scale: float | None = None, k_scale=None, v_scale=None,
+                  layer=None):
     """Dense-masked attention (golden reference; O(Sq*Skv) memory).
 
     q:       [B, Sq, H, D]
-    k_cache: [B, K, Skv, D], v_cache: same (int8 when k_scale/v_scale given:
-             per-token dequant scales [B, K, Skv, 1])
+    k_cache: [B, Skv, K, D], v_cache: same (int8 when k_scale/v_scale given:
+             per-token dequant scales [B, Skv, K]); with ``layer`` given,
+             a stacked [L, B, Skv, K, D] cache indexed at that layer
     q_start: [B] int32 absolute position of q[:, 0]
     kv_len:  [B] int32 valid kv length (history + new tokens)
     returns  [B, Sq, H, D]
     """
+    if layer is not None:
+        k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer, 0,
+                                               keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer, 0,
+                                               keepdims=False)
+        if k_scale is not None:
+            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer, 0,
+                                                   keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer, 0,
+                                                   keepdims=False)
     B, Sq, H, D = q.shape
-    K = k_cache.shape[1]
+    Skv, K = k_cache.shape[1], k_cache.shape[2]
     G = H // K
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
 
@@ -64,13 +92,12 @@ def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
     if k_scale is not None:
-        kf = kf * k_scale
+        kf = kf * k_scale[..., None]
     if v_scale is not None:
-        vf = vf * v_scale
+        vf = vf * v_scale[..., None]
 
     # logits [B, K, G, Sq, Skv]
-    s = jnp.einsum("bikgd,bktd->bkgit", qf, kf) * scale
-    Skv = kf.shape[2]
+    s = jnp.einsum("bikgd,btkd->bkgit", qf, kf) * scale
     q_pos = q_start[:, None] + jnp.arange(Sq)[None, :]          # [B, Sq]
     j = jnp.arange(Skv)[None, None, :]                          # [1, 1, Skv]
     valid = j < kv_len[:, None, None]                           # [B, 1, Skv]
@@ -84,40 +111,28 @@ def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
     p = jnp.where(valid[:, None, None, :, :], p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.where(l == 0.0, 1.0, l)
-    out = jnp.einsum("bkgit,bktd->bikgd", p, vf)                # [B,Sq,K,G,D]
+    out = jnp.einsum("bkgit,btkd->bikgd", p, vf)                # [B,Sq,K,G,D]
     return out.reshape(B, Sq, H, D).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernel (unified prefill/decode, all kv heads per grid step)
 # ---------------------------------------------------------------------------
 
-def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, o_ref,
-                 m_ref, l_ref, acc_ref, *, sm_scale, block_q, block_kv,
-                 group, causal, num_kv_blocks):
-    _attn_kernel_impl(qs_ref, kl_ref, q_ref, k_ref, v_ref, None, None, o_ref,
-                      m_ref, l_ref, acc_ref, sm_scale=sm_scale,
-                      block_q=block_q, block_kv=block_kv, group=group,
-                      causal=causal, num_kv_blocks=num_kv_blocks)
+def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                 o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_q,
+                 block_kv, group, causal, num_kv_blocks, kv_lead):
+    """One (batch, q-block, kv-block) step over all K kv heads.
 
-
-def _attn_kernel_quant(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                       o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_q,
-                       block_kv, group, causal, num_kv_blocks):
-    """INT8-KV variant: per-token scales dequantize K/V blocks in VMEM
-    (quantize-on-write lives in ops/kv_cache.py)."""
-    _attn_kernel_impl(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                      o_ref, m_ref, l_ref, acc_ref, sm_scale=sm_scale,
-                      block_q=block_q, block_kv=block_kv, group=group,
-                      causal=causal, num_kv_blocks=num_kv_blocks)
-
-
-def _attn_kernel_impl(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                      o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_q,
-                      block_kv, group, causal, num_kv_blocks):
+    q block:   [K, bq, D] (bq query rows per head; row r = i*G + g)
+    k/v block: [bk, K, D] (token-major)
+    scales:    [bk, K] per-token int8-KV dequant scales
+    scratch:   m/l [K, bq] f32, acc [K, bq, D] f32
+    """
     b = pl.program_id(0)
-    iq = pl.program_id(2)
-    ikv = pl.program_id(3)
+    iq = pl.program_id(1)
+    ikv = pl.program_id(2)
+    kv0 = (0,) * kv_lead
 
     @pl.when(ikv == 0)
     def _init():
@@ -137,58 +152,97 @@ def _attn_kernel_impl(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     @pl.when(needed)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)           # [bq, D]
-        k = k_ref[0, 0].astype(jnp.float32)           # [bk, D]
-        if ks_ref is not None:
-            k = k * ks_ref[0, 0]                      # [bk, 1] per-token scale
+        # dots run on the storage dtype (bf16 MXU passes, f32 accumulate);
+        # casting whole blocks to f32 in VMEM doubled the stack footprint
+        q = q_ref[0]                                  # [K, bq, D]
+        k = k_ref[kv0]                                # [bk, K, D]
+        if ks_ref is not None:                        # int8 dequant in VMEM
+            k = (k.astype(jnp.float32)
+                 * ks_ref[kv0][..., None]).astype(q.dtype)
+        else:
+            k = k.astype(q.dtype)
+        k = jnp.swapaxes(k, 0, 1)                     # [K, bk, D] (VMEM
+        # shuffle; Mosaic requires batch dims at equal operand positions)
+        # K-batched q·kᵀ: [K, bq, bk]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # [bq, bk]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + iq * block_q
         q_pos = q_start + rows // group
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_block_start
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + kv_block_start
         mask = cols < kv_len
         if causal:
             mask = jnp.logical_and(mask, cols <= q_pos)
         s = jnp.where(mask, s, _NEG_INF)
 
-        m_prev = m_ref[:, :1]                         # [bq, 1]
-        l_prev = l_ref[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_ref[:]                             # [K, bq]
+        l_prev = l_ref[:]
+        m_curr = jnp.max(s, axis=2)
         m_new = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        p = jnp.exp(s - m_new[:, :, None])
         p = jnp.where(mask, p, 0.0)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        l_ref[:] = alpha * l_prev + jnp.sum(p, axis=2)
 
-        v = v_ref[0, 0].astype(jnp.float32)           # [bk, D]
+        v = v_ref[kv0]                                # [bk, K, D]
         if vs_ref is not None:
-            v = v * vs_ref[0, 0]
+            v = (v.astype(jnp.float32)
+                 * vs_ref[kv0][..., None]).astype(q.dtype)
+        else:
+            v = v.astype(q.dtype)
+        v = jnp.swapaxes(v, 0, 1)                     # [K, bk, D]
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [bq, D]
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+            p.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [K, bq, D]
+        acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv
+        m_ref[:] = m_new
 
     @pl.when(ikv == num_kv_blocks - 1)
     def _finalize():
-        l = l_ref[:, :1]
+        l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l_safe[:, :, None]).astype(o_ref.dtype)
+
+
+def _mk_kernel(quant, layered, **kw):
+    """Bind the prefetch/scale ref layout into a kernel callable."""
+    if layered:
+        if quant:
+            def kern(qs, kl, ly, q, k, v, ks, vs, o, m, l, acc):
+                _attn_kernel(qs, kl, q, k, v, ks, vs, o, m, l, acc, **kw)
+        else:
+            def kern(qs, kl, ly, q, k, v, o, m, l, acc):
+                _attn_kernel(qs, kl, q, k, v, None, None, o, m, l, acc, **kw)
+    else:
+        if quant:
+            def kern(qs, kl, q, k, v, ks, vs, o, m, l, acc):
+                _attn_kernel(qs, kl, q, k, v, ks, vs, o, m, l, acc, **kw)
+        else:
+            def kern(qs, kl, q, k, v, o, m, l, acc):
+                _attn_kernel(qs, kl, q, k, v, None, None, o, m, l, acc, **kw)
+    return kern
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "block_kv", "interpret"))
+    static_argnames=("causal", "sm_scale", "block_q", "block_kv", "interpret",
+                     "kv_hi"))
 def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
                       block_q, block_kv, interpret, k_scale=None,
-                      v_scale=None):
+                      v_scale=None, layer=None, kv_hi=None):
     B, Sq, H, D = q.shape
-    K, Skv = k_cache.shape[1], k_cache.shape[2]
+    layered = layer is not None
+    Skv, K = (k_cache.shape[2], k_cache.shape[3]) if layered else \
+        (k_cache.shape[1], k_cache.shape[2])
     G = H // K
     rows = Sq * G
+    quant = k_scale is not None
+
+    # static watermark (see module docstring): bound the kv grid, whole
+    # blocks only so block shapes stay legal against the full-size array
+    if kv_hi is not None:
+        Skv = min(Skv, max(block_kv, round_up(kv_hi, block_kv)))
 
     bq = rows if rows <= block_q else max(8, (block_q // 8) * 8)
     bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
@@ -196,35 +250,49 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
     nkv = cdiv(Skv, bk)
 
     # [B, Sq, H, D] -> [B, K, Sq*G, D]; row r = i*G + g
-    qr = q.reshape(B, Sq, K, G, D).transpose(0, 2, 1, 3, 4).reshape(B, K, rows, D)
+    qr = q.reshape(B, Sq, K, G, D).transpose(0, 2, 1, 3, 4).reshape(
+        B, K, rows, D)
 
-    quant = k_scale is not None
+    prefetch = [q_start, kv_len]
+    np_ = 2
+    if layered:
+        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+        np_ = 3
+        kv_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, j, 0, 0)
+        sc_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, j, 0)
+        kv_blk = (1, 1, bk, K, D)
+        sc_blk = (1, 1, bk, K)
+    else:
+        kv_ix = lambda b, i, j, qs, kl: (b, j, 0, 0)
+        sc_ix = lambda b, i, j, qs, kl: (b, j, 0)
+        kv_blk = (1, bk, K, D)
+        sc_blk = (1, bk, K)
+
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, k, i, j, *_: (b, k, i, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, k, i, j, *_: (b, k, j, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, k, i, j, *_: (b, k, j, 0)),
+        pl.BlockSpec((1, K, bq, D), lambda b, i, j, *_: (b, 0, i, 0)),
+        pl.BlockSpec(kv_blk, kv_ix),
+        pl.BlockSpec(kv_blk, kv_ix),
     ]
-    inputs = [q_start, kv_len, qr, k_cache, v_cache]
+    inputs = prefetch + [qr, k_cache, v_cache]
     if quant:
-        s_spec = pl.BlockSpec((1, 1, bk, 1), lambda b, k, i, j, *_: (b, k, j, 0))
+        s_spec = pl.BlockSpec(sc_blk, sc_ix)
         in_specs += [s_spec, s_spec]
         inputs += [k_scale, v_scale]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, K, nq, nkv),
+        num_scalar_prefetch=np_,
+        grid=(B, nq, nkv),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, k, i, j, *_: (b, k, i, 0)),
+        out_specs=pl.BlockSpec((1, K, bq, D), lambda b, i, j, *_: (b, 0, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((K, bq), jnp.float32),
+            pltpu.VMEM((K, bq), jnp.float32),
+            pltpu.VMEM((K, bq, D), jnp.float32),
         ],
     )
-    kern = functools.partial(
-        _attn_kernel_quant if quant else _attn_kernel,
-        sm_scale=sm_scale, block_q=bq, block_kv=bk, group=G,
-        causal=causal, num_kv_blocks=nkv)
+    kern = _mk_kernel(quant, layered, sm_scale=sm_scale, block_q=bq,
+                      block_kv=bk, group=G, causal=causal, num_kv_blocks=nkv,
+                      kv_lead=2 if layered else 1)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -232,29 +300,32 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
         interpret=interpret,
     )(*inputs)
 
-    return out.reshape(B, K, Sq, G, D).transpose(0, 2, 1, 3, 4).reshape(B, Sq, H, D)
+    return out.reshape(B, K, Sq, G, D).transpose(0, 2, 1, 3, 4).reshape(
+        B, Sq, H, D)
 
 
 def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
-              sm_scale: float | None = None, block_q: int = 256,
-              block_kv: int = 256, kernels: str = "auto", k_scale=None,
-              v_scale=None):
+              sm_scale: float | None = None, block_q: int = 128,
+              block_kv: int = 128, kernels: str = "auto", k_scale=None,
+              v_scale=None, layer=None, kv_hi: int | None = None):
     """Flash attention of q against the (already updated) KV cache.
 
-    See attention_xla for shapes. ``k_cache``/``v_cache`` must already
-    contain the current tokens' K/V at positions [q_start, q_start+len) —
-    cache write happens first (ops/kv_cache.py), exactly as the reference
-    decode kernel writes the new k,v before attending
-    (decoder_self_attention.cu:126,172). Pass ``k_scale``/``v_scale``
-    ([B, K, Skv, 1] f32) for an INT8-quantized cache.
+    See attention_xla for shapes (token-major [.., Skv, K, D] cache).
+    ``k_cache``/``v_cache`` must already contain the current tokens' K/V at
+    positions [q_start, q_start+len) — cache write happens first
+    (ops/kv_cache.py), exactly as the reference decode kernel writes the new
+    k,v before attending (decoder_self_attention.cu:126,172). Pass
+    ``k_scale``/``v_scale`` ([.., Skv, K] f32) for an INT8-quantized cache,
+    ``layer`` (traced int32) for a stacked [L, ...] cache, and ``kv_hi``
+    (static) to bound the scanned kv prefix.
     """
     if not use_pallas(kernels):
         return attention_xla(q, k_cache, v_cache, q_start, kv_len,
                              causal=causal, sm_scale=sm_scale,
-                             k_scale=k_scale, v_scale=v_scale)
+                             k_scale=k_scale, v_scale=v_scale, layer=layer)
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
     return _attention_pallas(
         q, k_cache, v_cache,
         q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
         causal, float(scale), block_q, block_kv, pallas_interpret(),
-        k_scale=k_scale, v_scale=v_scale)
+        k_scale=k_scale, v_scale=v_scale, layer=layer, kv_hi=kv_hi)

@@ -9,37 +9,56 @@ Capability parity with the reference's cache machinery:
 - the decode kernel's in-place single-token cache write
   (reference: src/kernels/decoder_self_attention.cu:126,172).
 
-TPU design: layout [L, B, K, S, D] (lane dim = head_dim, seq on sublanes —
-the natural tiling for the attention kernel's [bk, D] blocks). Updates are
-per-sequence ``dynamic_update_slice`` under vmap, which XLA lowers to an
-in-place scatter when the cache buffer is donated into the jitted step —
-no allocator needed (the reference needed a pooling CudaAllocator,
-src/memory/allocator/cuda_allocator.h:23, because it malloc'd per forward;
-here every buffer is preallocated and donated, SURVEY.md §2b).
+TPU design: **token-major layout [L, B, S, K, D]** (the reference used
+head-major [layers, bs, heads, seq, hs]). Token-major is what the hardware
+wants on TPU:
+- the token axis S sits outside the last-two tiled (8, 128) dims, so a
+  write at an arbitrary sequence position is a legal DMA (Mosaic rejects
+  dynamic sublane-unaligned indices into tiled dims — head-major S is a
+  tiled dim);
+- one sequence's [bk, K, D] kv block is a fully contiguous HBM stream for
+  the all-heads attention kernel (ops/attention.py);
+- writes touch one contiguous [T, K, D] span per (layer, sequence).
+
+The write is a Pallas kernel with ``input_output_aliases`` DMA-ing only the
+new tokens' bytes: expressing it as scatter/dynamic_update_slice at the XLA
+level forced a full copy of the multi-GB cache per layer whenever the
+attention custom call also read it in the same scan body (measured
+~850 ms/step at 7B/bs8 vs ~5 ms for the writes alone).
 
 An int8-quantized cache variant stores values with per-(token, head) scales
-(quantize-on-write, dequantize-in-kernel) — part of the quantization goal
-the reference never reached (README.md:36-39).
+[L, B, S, K] f32 (quantize-on-write, dequantize-in-kernel) — part of the
+quantization goal the reference never reached (README.md:36-39).
+
+No allocator is needed (the reference required a pooling CudaAllocator,
+src/memory/allocator/cuda_allocator.h:23, because it malloc'd per forward;
+here every buffer is preallocated and donated, SURVEY.md §2b).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["KVCache", "new_kv_cache", "update_layer_cache"]
+from llm_inference_engine_tpu.utils import pallas_interpret, use_pallas
+
+__all__ = ["KVCache", "new_kv_cache", "update_layer_cache",
+           "update_cache_at_layer"]
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """k/v: [L, B, K, S, D]; lengths: [B] valid tokens per slot.
+    """k/v: [L, B, S, K, D] token-major; lengths: [B] valid tokens per slot.
 
-    When quantized (int8 storage), k_scale/v_scale are [L, B, K, S, 1] f32
-    per-token-per-head absmax scales; otherwise None.
+    When quantized (int8 storage), k_scale/v_scale are [L, B, S, K] f32
+    per-(token, head) absmax scales; otherwise None.
     """
 
     k: jax.Array
@@ -58,7 +77,7 @@ class KVCache:
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[2]
 
     @property
     def quantized(self) -> bool:
@@ -68,30 +87,32 @@ class KVCache:
 def new_kv_cache(num_layers: int, batch_size: int, num_kv_heads: int,
                  max_seq_len: int, head_dim: int, dtype=jnp.bfloat16,
                  quantized: bool = False) -> KVCache:
-    shape = (num_layers, batch_size, num_kv_heads, max_seq_len, head_dim)
+    shape = (num_layers, batch_size, max_seq_len, num_kv_heads, head_dim)
     store_dtype = jnp.int8 if quantized else dtype
     k = jnp.zeros(shape, store_dtype)
     v = jnp.zeros(shape, store_dtype)
     lengths = jnp.zeros((batch_size,), jnp.int32)
     if quantized:
-        sshape = (num_layers, batch_size, num_kv_heads, max_seq_len, 1)
+        sshape = (num_layers, batch_size, max_seq_len, num_kv_heads)
         return KVCache(k, v, lengths, jnp.ones(sshape, jnp.float32),
                        jnp.ones(sshape, jnp.float32))
     return KVCache(k, v, lengths)
 
 
 def _quantize_kv(x: jax.Array):
-    """Per-(head, token) absmax int8 quantization. x: [K, S, D]."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    """Per-(token, head) absmax int8 quantization. x: [.., T, K, D] ->
+    (int8 values, [.., T, K] f32 scales)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127)
     return q.astype(jnp.int8), scale
 
 
-def _update_one(cache_kl, new_k, start):
-    """cache_kl: [K, S, D]; new_k: [K, T, D]; start: scalar."""
-    return jax.lax.dynamic_update_slice(cache_kl, new_k.astype(cache_kl.dtype),
-                                        (0, start, 0))
+def _update_one(cache_b, new_b, start):
+    """cache_b: [S, K, D]; new_b: [T, K, D]; write at token ``start``."""
+    return jax.lax.dynamic_update_slice(cache_b, new_b.astype(cache_b.dtype),
+                                        (start, 0, 0))
 
 
 def update_layer_cache(k_layer: jax.Array, v_layer: jax.Array,
@@ -101,22 +122,206 @@ def update_layer_cache(k_layer: jax.Array, v_layer: jax.Array,
                        v_scale_layer: jax.Array | None = None):
     """Write new tokens into one layer's cache at per-sequence offsets.
 
-    k_layer/v_layer: [B, K, S, D] (one layer's slice)
+    k_layer/v_layer: [B, S, K, D] (one layer's slice, token-major)
     new_k/new_v:     [B, T, K, D] (T new tokens)
     starts:          [B] int32 write offsets (== history lengths)
-    Returns updated (k_layer, v_layer[, k_scale_layer, v_scale_layer]).
+    Returns updated (k_layer, v_layer[, k_scale_layer, v_scale_layer]);
+    scale layers are [B, S, K].
     """
-    new_k = jnp.swapaxes(new_k, 1, 2)  # [B, K, T, D]
-    new_v = jnp.swapaxes(new_v, 1, 2)
     if k_scale_layer is None:
         k_out = jax.vmap(_update_one)(k_layer, new_k, starts)
         v_out = jax.vmap(_update_one)(v_layer, new_v, starts)
         return k_out, v_out, None, None
 
-    qk, k_sc = jax.vmap(_quantize_kv)(new_k)   # [B,K,T,D], [B,K,T,1]
-    qv, v_sc = jax.vmap(_quantize_kv)(new_v)
+    qk, k_sc = _quantize_kv(new_k)     # [B,T,K,D], [B,T,K]
+    qv, v_sc = _quantize_kv(new_v)
+    upd2 = jax.vmap(lambda c, n, s: jax.lax.dynamic_update_slice(
+        c, n.astype(c.dtype), (s, 0)))
     k_out = jax.vmap(_update_one)(k_layer, qk, starts)
     v_out = jax.vmap(_update_one)(v_layer, qv, starts)
-    ks_out = jax.vmap(_update_one)(k_scale_layer, k_sc, starts)
-    vs_out = jax.vmap(_update_one)(v_scale_layer, v_sc, starts)
+    ks_out = upd2(k_scale_layer, k_sc, starts)
+    vs_out = upd2(v_scale_layer, v_sc, starts)
     return k_out, v_out, ks_out, vs_out
+
+
+# ---------------------------------------------------------------------------
+# Stacked-cache write (aliased Pallas DMA kernel)
+# ---------------------------------------------------------------------------
+
+def _write_kernel(starts_ref, nlen_ref, layer_ref, knew_ref, vnew_ref,
+                  kin_ref, vin_ref, kout_ref, vout_ref, sem, *, T):
+    b = pl.program_id(0)
+    del kin_ref, vin_ref  # aliased with the outputs
+
+    @pl.when(nlen_ref[b] > 0)
+    def _go():
+        pos = starts_ref[b]
+        l = layer_ref[0]
+        ck = pltpu.make_async_copy(
+            knew_ref.at[0], kout_ref.at[l, b, pl.ds(pos, T), :, :], sem.at[0])
+        cv = pltpu.make_async_copy(
+            vnew_ref.at[0], vout_ref.at[l, b, pl.ds(pos, T), :, :], sem.at[1])
+        ck.start()
+        cv.start()
+        ck.wait()
+        cv.wait()
+
+
+def _write_kernel_quant(starts_ref, nlen_ref, layer_ref, knew_ref, vnew_ref,
+                        ks_ref, vs_ref, kin_ref, vin_ref, ksin_ref, vsin_ref,
+                        kout_ref, vout_ref, ksout_ref, vsout_ref, sem, *, T):
+    b = pl.program_id(0)
+    del kin_ref, vin_ref, ksin_ref, vsin_ref
+
+    @pl.when(nlen_ref[b] > 0)
+    def _go():
+        pos = starts_ref[b]
+        l = layer_ref[0]
+        copies = [
+            pltpu.make_async_copy(
+                knew_ref.at[0], kout_ref.at[l, b, pl.ds(pos, T), :, :],
+                sem.at[0]),
+            pltpu.make_async_copy(
+                vnew_ref.at[0], vout_ref.at[l, b, pl.ds(pos, T), :, :],
+                sem.at[1]),
+            pltpu.make_async_copy(
+                ks_ref.at[0], ksout_ref.at[l, b, pl.ds(pos, T), :],
+                sem.at[2]),
+            pltpu.make_async_copy(
+                vs_ref.at[0], vsout_ref.at[l, b, pl.ds(pos, T), :],
+                sem.at[3]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("quantized",))
+def _write_pallas(k, v, k_scale, v_scale, knew, vnew, ks, vs, starts,
+                  new_len, layer, quantized):
+    """knew/vnew: [B, T, K, D] (+ks/vs [B, T, K] when quantized)."""
+    B, T, K, D = knew.shape
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    new_spec = pl.BlockSpec((1, T, K, D), lambda b, *_: (b, 0, 0, 0))
+    sc_spec = pl.BlockSpec((1, T, K), lambda b, *_: (b, 0, 0))
+
+    if quantized:
+        kern = functools.partial(_write_kernel_quant, T=T)
+        in_specs = [new_spec, new_spec, sc_spec, sc_spec,
+                    any_spec, any_spec, any_spec, any_spec]
+        inputs = (knew, vnew, ks, vs, k, v, k_scale, v_scale)
+        out_shape = [jax.ShapeDtypeStruct(k.shape, k.dtype),
+                     jax.ShapeDtypeStruct(v.shape, v.dtype),
+                     jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                     jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
+        out_specs = [any_spec] * 4
+        # flat operand order: starts, new_len, layer, knew, vnew, ks, vs,
+        # k, v, k_scale, v_scale -> cache operands at 7..10
+        aliases = {7: 0, 8: 1, 9: 2, 10: 3}
+    else:
+        kern = functools.partial(_write_kernel, T=T)
+        in_specs = [new_spec, new_spec, any_spec, any_spec]
+        inputs = (knew, vnew, k, v)
+        out_shape = [jax.ShapeDtypeStruct(k.shape, k.dtype),
+                     jax.ShapeDtypeStruct(v.shape, v.dtype)]
+        out_specs = [any_spec] * 2
+        aliases = {5: 0, 6: 1}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(starts.astype(jnp.int32), new_len.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), *inputs)
+
+
+def _update_one_at_layer(cache_b, new_b, layer, start):
+    """cache_b: [L, S, K, D]; new_b: [T, K, D]; write at (layer, start)."""
+    return jax.lax.dynamic_update_slice(
+        cache_b, new_b.astype(cache_b.dtype)[None], (layer, start, 0, 0))
+
+
+def update_cache_at_layer(cache: KVCache, layer, new_k: jax.Array,
+                          new_v: jax.Array, starts: jax.Array,
+                          new_len: jax.Array | None = None,
+                          kernels: str = "auto") -> KVCache:
+    """Write new tokens for one layer straight into the stacked 5-D cache.
+
+    cache.k/v: [L, B, S, K, D]; new_k/new_v: [B, T, K, D]; layer: traced
+    int32 scalar; starts: [B] per-sequence write offsets; new_len: [B]
+    valid new tokens per sequence (rows with 0 skip their write entirely;
+    defaults to all-T).
+
+    On TPU this runs as the aliased Pallas DMA kernel (see module
+    docstring); off-TPU (interpret mode) it falls back to vmapped
+    dynamic_update_slice. The capability contract is the reference's
+    launchConcatKVCache / in-kernel cache write (concat_past_kv.cu:44-89,
+    decoder_self_attention.cu:126,172).
+    """
+    if new_len is None:
+        new_len = jnp.full(starts.shape, new_k.shape[1], jnp.int32)
+    # clamp so the T-token window never runs past the cache (same semantics
+    # as dynamic_update_slice; callers must keep real tokens in range)
+    starts = jnp.minimum(starts.astype(jnp.int32),
+                         cache.k.shape[2] - new_k.shape[1])
+
+    # the DMA slices (T, K, D) spans; Mosaic requires the trailing tiled
+    # dims be tile-aligned (K % 8, D % 128) — true for every production
+    # Llama shape (D=128); small debug/tiny models fall back to DUS
+    K, D = new_k.shape[2], new_k.shape[3]
+    pallas_ok = (use_pallas(kernels) and not pallas_interpret()
+                 and D % 128 == 0 and K % 8 == 0)
+
+    if cache.quantized:
+        qk, k_sc = _quantize_kv(new_k)     # [B,T,K,D], [B,T,K]
+        qv, v_sc = _quantize_kv(new_v)
+        upd2 = jax.vmap(
+            lambda c, n, l, s: jax.lax.dynamic_update_slice(
+                c, n.astype(c.dtype)[None], (l, s, 0)),
+            in_axes=(1, 0, None, 0), out_axes=1)
+        if pallas_ok:
+            # int8 values ride the aliased DMA kernel; the [L, B, S, K]
+            # scale arrays cannot (their token axis sits in the tiled
+            # last-two dims, and Mosaic rejects unaligned dynamic slices
+            # there), so they go through XLA DUS. The scale arrays are
+            # D/4-times smaller than the values, bounding the copy cost.
+            # TODO: embed the K f32 scales as one extra int8 "head row"
+            # (K*4 bytes == D for D=128) so one DMA carries both.
+            k, v = _write_pallas(
+                cache.k, cache.v, None, None, qk, qv, None, None,
+                starts, new_len, layer, quantized=False)
+            return dataclasses.replace(
+                cache, k=k, v=v,
+                k_scale=upd2(cache.k_scale, k_sc, layer, starts),
+                v_scale=upd2(cache.v_scale, v_sc, layer, starts))
+        upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0),
+                       out_axes=1)
+        return dataclasses.replace(
+            cache,
+            k=upd(cache.k, qk, layer, starts),
+            v=upd(cache.v, qv, layer, starts),
+            k_scale=upd2(cache.k_scale, k_sc, layer, starts),
+            v_scale=upd2(cache.v_scale, v_sc, layer, starts))
+
+    if pallas_ok:
+        k, v = _write_pallas(
+            cache.k, cache.v, None, None,
+            new_k.astype(cache.k.dtype), new_v.astype(cache.v.dtype),
+            None, None, starts, new_len, layer, quantized=False)
+        return dataclasses.replace(cache, k=k, v=v)
+    upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0), out_axes=1)
+    return dataclasses.replace(
+        cache,
+        k=upd(cache.k, new_k, layer, starts),
+        v=upd(cache.v, new_v, layer, starts))

@@ -46,13 +46,18 @@ def linear_xla(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
 
 
 def linear(x: jax.Array, w, bias=None, out_dtype=None, *,
-           kernels: str = "auto") -> jax.Array:
+           kernels: str = "auto", layer=None) -> jax.Array:
     """Matmul dispatcher. ``w`` is either a plain [in, out] array or a
-    QuantizedTensor (see ops/quant.py)."""
+    QuantizedTensor (see ops/quant.py). With ``layer`` (traced int32), a
+    stacked-weight variant is used: quantized weights are indexed inside
+    the Pallas kernel via scalar prefetch (never sliced in HBM); dense
+    stacked weights fall back to a dynamic_index slice."""
     # Imported lazily to avoid a cycle (quant uses linear_xla as golden).
     from llm_inference_engine_tpu.ops import quant
 
     if isinstance(w, quant.QuantizedTensor):
         return quant.quantized_linear(x, w, bias=bias, out_dtype=out_dtype,
-                                      kernels=kernels)
+                                      kernels=kernels, layer=layer)
+    if layer is not None:
+        w = jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
     return linear_xla(x, w, bias, out_dtype)

@@ -180,6 +180,14 @@ def quantized_linear_xla(x: jax.Array, t: QuantizedTensor,
 # Pallas fused dequant-matmul kernels
 # ---------------------------------------------------------------------------
 
+def _block2d(ref):
+    """Load a block and squeeze leading singleton dims to [rows, cols] —
+    rank-agnostic so the same kernel serves per-layer and stacked
+    ([L, ...], layer via scalar prefetch) weights."""
+    w = ref[...]
+    return w.reshape(w.shape[-2], w.shape[-1])
+
+
 def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
     ik = pl.program_id(2)
 
@@ -188,13 +196,14 @@ def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]
-    w = q_ref[:].astype(x.dtype)                   # int8 -> compute dtype in VMEM
+    w = _block2d(q_ref).astype(x.dtype)            # int8 -> compute dtype in VMEM
     acc_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(ik == num_k_blocks - 1)
     def _fin():
-        o_ref[:] = (acc_ref[:] * s_ref[0, :][None, :]).astype(o_ref.dtype)
+        scale = s_ref[...].reshape(-1)             # [bn]
+        o_ref[:] = (acc_ref[:] * scale[None, :]).astype(o_ref.dtype)
 
 
 def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
@@ -205,10 +214,11 @@ def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]                                    # [bm, bk]
-    w = _unpack_int4_block(q_ref[:], x.dtype)       # [bk, bn]
+    w = _unpack_int4_block(_block2d(q_ref), x.dtype)  # [bk, bn]
     part = jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    acc_ref[:] += part * s_ref[0, 0, :][None, :]    # one group per K block
+    scale = s_ref[...].reshape(-1)                  # one group per K block
+    acc_ref[:] += part * scale[None, :]
 
     @pl.when(ik == num_k_blocks - 1)
     def _fin():
@@ -218,90 +228,209 @@ def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "group_size", "out_dtype", "bm", "bn", "bk",
-                     "interpret"))
+                     "interpret", "sel"))
 def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
-                             bm, bn, bk, interpret):
+                             bm, bn, bk, interpret, layer=None, sel=None):
+    """Fused dequant-matmul.
+
+    Per-layer weights: q [in(/2), out], scale [1|groups, out].
+    Stacked weights (``layer`` given — a traced int32 read via scalar
+    prefetch, never a sliced-out copy): q [L, in(/2), out] or, for the
+    structured gate|up stack, [L, in(/2), 2, I] with ``sel`` statically
+    choosing gate (0) or up (1). Scales carry the same leading dims.
+    """
     m, k = x2.shape
-    n = q.shape[1]
+    layered = layer is not None
+    structured = sel is not None
+    n = q.shape[-1]
     nm, nn, nk = cdiv(m, bm), cdiv(n, bn), cdiv(k, bk)
 
-    if mode == "int8":
-        kern = functools.partial(_int8_matmul_kernel, num_k_blocks=nk)
-        q_spec = pl.BlockSpec((bk, bn), lambda i, j, l: (l, j),
-                              memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, bn), lambda i, j, l: (0, j),
-                              memory_space=pltpu.VMEM)
+    qrows = bk if mode == "int8" else bk // 2
+    if layered:
+        # stacked q: [L, in', n] or structured [L, 2, in', I] (the 2-axis
+        # ahead of the block dims — a trailing (.., 1, bn) block over an
+        # interior size-2 axis would violate Mosaic's block-shape rules)
+        if structured:
+            q_ix = lambda i, j, l, ly: (ly[0], sel, l, j)
+            q_blk = (1, 1, qrows, bn)
+        else:
+            q_ix = lambda i, j, l, ly: (ly[0], l, j)
+            q_blk = (1, qrows, bn)
+        if mode == "int8":
+            # scale [L, 1, n] / [L, 2, 1, I]
+            if structured:
+                s_ix = lambda i, j, l, ly: (ly[0], sel, 0, j)
+                s_blk = (1, 1, 1, bn)
+            else:
+                s_ix = lambda i, j, l, ly: (ly[0], 0, j)
+                s_blk = (1, 1, bn)
+        else:
+            # int4 grouped scales: insert a singleton second-minor axis so
+            # the (.., 1, bn) block is legal ([L, G, n] -> [L, G, 1, n])
+            if structured:                       # [L, 2, G, I]
+                scale = scale.reshape(*scale.shape[:3], 1, scale.shape[3])
+                s_ix = lambda i, j, l, ly: (ly[0], sel, l, 0, j)
+                s_blk = (1, 1, 1, 1, bn)
+            else:                                # [L, G, n]
+                scale = scale.reshape(scale.shape[0], scale.shape[1], 1,
+                                      scale.shape[2])
+                s_ix = lambda i, j, l, ly: (ly[0], l, 0, j)
+                s_blk = (1, 1, 1, bn)
+        x_ix = lambda i, j, l, ly: (i, l)
+        o_ix = lambda i, j, l, ly: (i, j)
+        num_prefetch = 1
+        extra = (jnp.asarray(layer, jnp.int32).reshape(1),)
     else:
-        kern = functools.partial(_int4_matmul_kernel, num_k_blocks=nk)
-        q_spec = pl.BlockSpec((bk // 2, bn), lambda i, j, l: (l, j),
-                              memory_space=pltpu.VMEM)
-        # one scale group per K block (bk == group_size); scale arrives as
-        # [groups, 1, n] so the (1, 1, bn) block satisfies TPU tiling rules
-        scale = scale.reshape(scale.shape[0], 1, scale.shape[1])
-        s_spec = pl.BlockSpec((1, 1, bn), lambda i, j, l: (l, 0, j),
-                              memory_space=pltpu.VMEM)
+        q_ix = lambda i, j, l: (l, j)
+        q_blk = (qrows, bn)
+        if mode == "int8":
+            s_ix = lambda i, j, l: (0, j)
+            s_blk = (1, bn)
+        else:
+            # scale [groups, n] -> [groups, 1, n] so the block satisfies
+            # TPU tiling rules
+            scale = scale.reshape(scale.shape[0], 1, scale.shape[1])
+            s_ix = lambda i, j, l: (l, 0, j)
+            s_blk = (1, 1, bn)
+        x_ix = lambda i, j, l: (i, l)
+        o_ix = lambda i, j, l: (i, j)
+        num_prefetch = 0
+        extra = ()
 
-    return pl.pallas_call(
-        kern,
+    kern = functools.partial(
+        _int8_matmul_kernel if mode == "int8" else _int4_matmul_kernel,
+        num_k_blocks=nk)
+    if num_prefetch:
+        base = kern
+        kern = lambda ly_ref, *refs: base(*refs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_prefetch,
         grid=(nm, nn, nk),
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, l: (i, l),
-                         memory_space=pltpu.VMEM),
-            q_spec,
-            s_spec,
+            pl.BlockSpec((bm, bk), x_ix),
+            pl.BlockSpec(q_blk, q_ix),
+            pl.BlockSpec(s_blk, s_ix),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        out_specs=pl.BlockSpec((bm, bn), o_ix),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         interpret=interpret,
-    )(x2, q, scale)
+    )(*extra, x2, q, scale)
+
+
+def _tile_ok(block, full, lane=False):
+    """Mosaic block rule: last two dims divisible by (8, 128) or equal
+    to the full array dim."""
+    return block == full or block % (128 if lane else 8) == 0
 
 
 def quantized_linear(x: jax.Array, t: QuantizedTensor,
                      bias: jax.Array | None = None, out_dtype: Any = None,
-                     *, kernels: str = "auto") -> jax.Array:
+                     *, kernels: str = "auto", layer=None) -> jax.Array:
     """y = x @ dequant(t) (+ bias), dequantization fused into the matmul.
 
-    ``t.q`` may carry structured out dims (e.g. [in, 2, I] for the gate|up
-    stack, kept structured so tensor-parallel sharding splits the I axis,
-    not the packed 2I axis) — flattened to 2-D here, at the local use site.
+    Per-layer weights: ``t.q`` is [in, out] (structured out dims like the
+    [in, 2, I] gate|up stack are flattened here, at the local use site).
+
+    Stacked weights (``layer`` given, a traced int32): ``t.q`` is
+    [L, in, out] or [L, 2, in, I] for the gate|up stack; the kernel reads
+    layer-indexed blocks from the whole array via scalar prefetch. Slicing
+    ``q[layer]`` instead would materialize (and, for scan xs, re-layout)
+    multi-GB weight copies in HBM — measured as both the decode-throughput
+    killer and an OOM at 7B (see benchmarks/bench_ops.py).
     """
     out_dtype = out_dtype or x.dtype
-    if t.q.ndim > 2:
-        t = QuantizedTensor(
-            q=t.q.reshape(t.q.shape[0], -1),
-            scale=t.scale.reshape(t.scale.shape[0], -1),
-            mode=t.mode, group_size=t.group_size)
+
+    if layer is None:
+        if t.q.ndim > 2:
+            t = QuantizedTensor(
+                q=t.q.reshape(t.q.shape[0], -1),
+                scale=t.scale.reshape(t.scale.shape[0], -1),
+                mode=t.mode, group_size=t.group_size)
+        if not use_pallas(kernels):
+            return quantized_linear_xla(x, t, bias, out_dtype)
+
+        lead = x.shape[:-1]
+        k_in = x.shape[-1]
+        x2 = x.reshape(-1, k_in)
+        m, n = x2.shape[0], t.q.shape[1]
+
+        bk = t.group_size if t.mode == "int4" else min(k_in, 512)
+        bm = m if m <= 256 else 256
+        bn = n if n <= 512 else 512
+
+        feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
+                    and _tile_ok(bk, k_in, lane=True)
+                    and (t.mode != "int4" or _tile_ok(bk // 2, t.q.shape[0])))
+        if not feasible:  # tiny/debug shapes: XLA path (still fused by XLA)
+            return quantized_linear_xla(x, t, bias, out_dtype)
+        y = _quantized_matmul_pallas(
+            x2, t.q, t.scale.astype(jnp.float32), t.mode, t.group_size,
+            jnp.dtype(out_dtype), bm, bn, bk, pallas_interpret())
+        y = y.reshape(*lead, n)
+        if bias is not None:
+            y = (y.astype(jnp.float32)
+                 + bias.astype(jnp.float32)).astype(out_dtype)
+        return y
+
+    # ---- stacked path ----
+    structured = t.q.ndim == 4                 # [L, 2, in', I]
     if not use_pallas(kernels):
-        return quantized_linear_xla(x, t, bias, out_dtype)
+        tl = QuantizedTensor(
+            q=jax.lax.dynamic_index_in_dim(t.q, layer, 0, keepdims=False),
+            scale=jax.lax.dynamic_index_in_dim(t.scale, layer, 0,
+                                               keepdims=False),
+            mode=t.mode, group_size=t.group_size)
+        if structured:                         # [2, in', I] -> two matmuls
+            outs = [quantized_linear_xla(
+                x, QuantizedTensor(q=tl.q[s], scale=tl.scale[s],
+                                   mode=t.mode, group_size=t.group_size),
+                None, out_dtype) for s in (0, 1)]
+            # flat packed [gate | up] along the last axis — the layout the
+            # dense path produces and silu_and_mul consumes
+            y = jnp.concatenate(outs, axis=-1)
+        else:
+            y = quantized_linear_xla(x, tl, None, out_dtype)
+        if bias is not None:
+            y = (y.astype(jnp.float32)
+                 + bias.astype(jnp.float32)).astype(out_dtype)
+        return y
 
     lead = x.shape[:-1]
     k_in = x.shape[-1]
     x2 = x.reshape(-1, k_in)
-    m, n = x2.shape[0], t.q.shape[1]
+    m = x2.shape[0]
+    n = t.q.shape[-1]
 
-    if t.mode == "int4":
-        bk = t.group_size
-    else:
-        bk = k_in if k_in <= 512 else 512
+    bk = t.group_size if t.mode == "int4" else min(k_in, 512)
     bm = m if m <= 256 else 256
     bn = n if n <= 512 else 512
+    qrows = t.q.shape[-2]
 
-    def tile_ok(block, full, lane=False):
-        """Mosaic block rule: last two dims divisible by (8, 128) or equal
-        to the full array dim."""
-        return block == full or block % (128 if lane else 8) == 0
+    feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
+                and _tile_ok(bk, k_in, lane=True)
+                and (t.mode != "int4" or _tile_ok(bk // 2, qrows)))
+    if not feasible:
+        return quantized_linear(x, t, bias, out_dtype, kernels="xla",
+                                layer=layer)
 
-    feasible = (tile_ok(bm, m) and tile_ok(bn, n, lane=True)
-                and tile_ok(bk, k_in, lane=True)
-                and (t.mode != "int4" or tile_ok(bk // 2, t.q.shape[0])))
-    if not feasible:  # tiny/debug shapes: XLA path (still fused by XLA)
-        return quantized_linear_xla(x, t, bias, out_dtype)
-    y = _quantized_matmul_pallas(
-        x2, t.q, t.scale.astype(jnp.float32), t.mode, t.group_size,
-        jnp.dtype(out_dtype), bm, bn, bk, pallas_interpret())
-    y = y.reshape(*lead, n)
+    scale = t.scale.astype(jnp.float32)
+    if structured:
+        outs = [_quantized_matmul_pallas(
+            x2, t.q, scale, t.mode, t.group_size, jnp.dtype(out_dtype),
+            bm, bn, bk, pallas_interpret(), layer=layer, sel=s)
+            for s in (0, 1)]
+        y = jnp.concatenate(outs, axis=-1).reshape(*lead, 2 * n)
+    else:
+        y = _quantized_matmul_pallas(
+            x2, t.q, scale, t.mode, t.group_size, jnp.dtype(out_dtype),
+            bm, bn, bk, pallas_interpret(), layer=layer)
+        y = y.reshape(*lead, n)
     if bias is not None:
         y = (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(out_dtype)
     return y

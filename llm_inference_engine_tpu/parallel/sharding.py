@@ -111,8 +111,9 @@ def param_pspecs(params) -> dict:
 
 
 def cache_pspecs(quantized: bool = False) -> KVCache:
-    kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
-    sc = kv if quantized else None
+    # token-major cache [L, B, S, K, D]: batch over data, kv heads over model
+    kv = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    sc = P(None, DATA_AXIS, None, MODEL_AXIS) if quantized else None
     return KVCache(k=kv, v=kv, lengths=P(DATA_AXIS), k_scale=sc, v_scale=sc)
 
 

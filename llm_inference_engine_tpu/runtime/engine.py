@@ -83,26 +83,32 @@ class InferenceEngine:
             from llm_inference_engine_tpu.parallel import sharding
             params = sharding.shard_params(params, mesh)
             cache = sharding.shard_cache(cache, mesh)
-            fwd = sharding.make_sharded_forward(cfg, eng, mesh, params)
+            _sharded = sharding.make_sharded_forward(cfg, eng, mesh, params)
+
+            def fwd(p, c, ids, q_start, kv_len, kv_hi=None):
+                return _sharded(p, c, ids, q_start, kv_len)
         else:
-            def fwd(p, c, ids, q_start, kv_len):
+            def fwd(p, c, ids, q_start, kv_len, kv_hi=None):
                 return llama_model.forward_hidden(cfg, eng, p, ids, c,
-                                                  q_start, kv_len)
+                                                  q_start, kv_len,
+                                                  kv_hi=kv_hi)
 
         self.params = params
         self.cache = cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _prefill(params, cache, token_ids, q_start, kv_len):
-            return fwd(params, cache, token_ids, q_start, kv_len)
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("kv_hi",))
+        def _prefill(params, cache, token_ids, q_start, kv_len, kv_hi=None):
+            return fwd(params, cache, token_ids, q_start, kv_len, kv_hi)
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("kv_hi",))
         def _decode_step(params, cache, tokens, active, key, temperature,
-                         top_k, top_p):
+                         top_k, top_p, kv_hi=None):
             q_start = cache.lengths
             kv_len = q_start + active.astype(jnp.int32)
             logits, cache = fwd(params, cache, tokens[:, None], q_start,
-                                kv_len)
+                                kv_len, kv_hi)
             nxt = sample_tokens(logits, key, temperature, top_k, top_p)
             return nxt, cache
 
@@ -111,8 +117,9 @@ class InferenceEngine:
             return sample_tokens(logits, key, temperature, top_k, top_p)
 
         @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnames=("num_steps",))
-        def _decode_rollout(params, cache, tokens, num_steps: int):
+                           static_argnames=("num_steps", "kv_hi"))
+        def _decode_rollout(params, cache, tokens, num_steps: int,
+                            kv_hi=None):
             """Greedy multi-step decode fully on device (no per-token host
             round-trip — the reference paid a D2H+H2D per token,
             llama.cpp:314,392; this pays one per ``num_steps``)."""
@@ -121,7 +128,7 @@ class InferenceEngine:
                 q_start = cache.lengths
                 kv_len = q_start + 1
                 logits, cache = fwd(params, cache, toks[:, None], q_start,
-                                    kv_len)
+                                    kv_len, kv_hi)
                 nxt = greedy_sample(logits)
                 return (cache, nxt), nxt
 
@@ -137,6 +144,15 @@ class InferenceEngine:
     # ------------------------------------------------------------------
     # low-level API
     # ------------------------------------------------------------------
+
+    def _kv_watermark(self, lengths_host, extra: int) -> int:
+        """Static kv upper bound for the attention grid, bucketed to whole
+        kv blocks (bounds jit retraces to max_seq_len/block_kv variants).
+        Blocks above the watermark are neither DMA'd nor computed."""
+        hi = int(np.max(lengths_host)) + extra
+        bucket = max(256, self.engine_config.block_kv)
+        hi = -(-hi // bucket) * bucket
+        return int(min(self.engine_config.max_seq_len, hi))
 
     def reset(self, slots: Optional[Sequence[int]] = None):
         """Clear history (all slots, or specific ones)."""
@@ -178,9 +194,12 @@ class InferenceEngine:
             token_ids[slot, :len(p)] = np.asarray(p, np.int32)
             new_len[slot] = len(p)
         q_start = self.cache.lengths
+        lengths_host = np.asarray(jax.device_get(q_start))
+        kv_hi = self._kv_watermark(lengths_host + new_len, 0)
         kv_len = q_start + jnp.asarray(new_len)
         logits, self.cache = self._prefill_fn(
-            self.params, self.cache, jnp.asarray(token_ids), q_start, kv_len)
+            self.params, self.cache, jnp.asarray(token_ids), q_start, kv_len,
+            kv_hi=kv_hi)
         self.cache = dataclasses.replace(self.cache, lengths=kv_len)
         return logits
 
@@ -207,9 +226,11 @@ class InferenceEngine:
             temp, topk, topp = (jnp.asarray(a) for a in sp_or_arrays)
         self._key, sub = jax.random.split(self._key)
         active = jnp.asarray(active)
+        kv_hi = self._kv_watermark(
+            np.asarray(jax.device_get(self.cache.lengths)), 1)
         nxt, self.cache = self._decode_fn(
             self.params, self.cache, jnp.asarray(tokens), active, sub,
-            temp, topk, topp)
+            temp, topk, topp, kv_hi=kv_hi)
         return nxt
 
     def decode_rollout(self, tokens, num_steps: int):
@@ -217,8 +238,11 @@ class InferenceEngine:
         call (lax.scan over steps). Returns [num_steps, B] token ids.
         Used by benchmarks and batch completion; per-token streaming uses
         decode_step instead."""
+        kv_hi = self._kv_watermark(
+            np.asarray(jax.device_get(self.cache.lengths)), num_steps)
         toks, self.cache = self._rollout_fn(
-            self.params, self.cache, jnp.asarray(tokens), num_steps)
+            self.params, self.cache, jnp.asarray(tokens), num_steps,
+            kv_hi=kv_hi)
         return toks
 
     # ------------------------------------------------------------------

@@ -20,13 +20,13 @@ CFG = get_config("debug")
 def test_attention_with_int8_cache_close_to_fp(rng):
     B, Sq, H, K, D, S = 2, 6, 4, 2, 64, 32
     q = rng.normal(size=(B, Sq, H, D)).astype(np.float32)
-    kf = rng.normal(size=(B, K, S, D)).astype(np.float32)
-    vf = rng.normal(size=(B, K, S, D)).astype(np.float32)
-    # quantize per (b, k, s)
-    ks = np.abs(kf).max(-1, keepdims=True) / 127.0
-    vs = np.abs(vf).max(-1, keepdims=True) / 127.0
-    k8 = np.clip(np.round(kf / ks), -127, 127).astype(np.int8)
-    v8 = np.clip(np.round(vf / vs), -127, 127).astype(np.int8)
+    kf = rng.normal(size=(B, S, K, D)).astype(np.float32)
+    vf = rng.normal(size=(B, S, K, D)).astype(np.float32)
+    # quantize per (b, s, k)
+    ks = np.abs(kf).max(-1) / 127.0
+    vs = np.abs(vf).max(-1) / 127.0
+    k8 = np.clip(np.round(kf / ks[..., None]), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs[..., None]), -127, 127).astype(np.int8)
 
     qs = np.array([0, 10], np.int32)
     kl = np.array([6, 16], np.int32)

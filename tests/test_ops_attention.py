@@ -20,7 +20,7 @@ from llm_inference_engine_tpu.ops.attention import attention, attention_xla
 def np_attention(q, k, v, q_start, kv_len, causal=True):
     """Dense float64 golden. q: [B,Sq,H,D]; k/v: [B,K,S,D]."""
     B, Sq, H, D = q.shape
-    K, S = k.shape[1], k.shape[2]
+    S, K = k.shape[1], k.shape[2]
     G = H // K
     out = np.zeros_like(q, dtype=np.float64)
     scale = 1.0 / math.sqrt(D)
@@ -32,11 +32,11 @@ def np_attention(q, k, v, q_start, kv_len, causal=True):
                 lim = min(kv_len[b], p + 1) if causal else kv_len[b]
                 if lim <= 0:
                     continue
-                s = (k[b, kh, :lim].astype(np.float64)
+                s = (k[b, :lim, kh].astype(np.float64)
                      @ q[b, i, h].astype(np.float64)) * scale
                 e = np.exp(s - s.max())
                 w = e / e.sum()
-                out[b, i, h] = w @ v[b, kh, :lim].astype(np.float64)
+                out[b, i, h] = w @ v[b, :lim, kh].astype(np.float64)
     return out
 
 
@@ -48,8 +48,8 @@ def np_attention(q, k, v, q_start, kv_len, causal=True):
 ])
 def test_attention_matches_numpy(rng, B, Sq, H, K, D, S):
     q = rng.normal(size=(B, Sq, H, D)).astype(np.float32)
-    k = rng.normal(size=(B, K, S, D)).astype(np.float32)
-    v = rng.normal(size=(B, K, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, S, K, D)).astype(np.float32)
+    v = rng.normal(size=(B, S, K, D)).astype(np.float32)
     q_start = rng.integers(0, max(1, S - Sq), size=(B,)).astype(np.int32)
     new = rng.integers(1, Sq + 1, size=(B,)).astype(np.int32)
     kv_len = (q_start + new).astype(np.int32)
@@ -70,8 +70,8 @@ def test_attention_matches_numpy(rng, B, Sq, H, K, D, S):
 def test_attention_pallas_vs_xla(rng):
     B, Sq, H, K, D, S = 2, 16, 8, 4, 64, 128
     q = jnp.asarray(rng.normal(size=(B, Sq, H, D)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(B, K, S, D)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(B, K, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, K, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, K, D)).astype(np.float32))
     qs = jnp.asarray(np.array([0, 32], np.int32))
     kl = jnp.asarray(np.array([16, 48], np.int32))
     a = attention(q, k, v, qs, kl, kernels="pallas", block_q=16, block_kv=32)
@@ -84,8 +84,8 @@ def test_attention_empty_slot_is_finite(rng):
     """Slots with kv_len=0 must produce zeros, not NaN (the reference's
     softmax would NaN on an empty row; ours is guarded)."""
     q = jnp.asarray(rng.normal(size=(1, 1, 2, 64)).astype(np.float32))
-    k = jnp.zeros((1, 2, 16, 64), jnp.float32)
-    v = jnp.zeros((1, 2, 16, 64), jnp.float32)
+    k = jnp.zeros((1, 16, 2, 64), jnp.float32)
+    v = jnp.zeros((1, 16, 2, 64), jnp.float32)
     out = attention(q, k, v, jnp.asarray([0]), jnp.asarray([0]),
                     kernels="pallas")
     assert np.isfinite(np.asarray(out)).all()
