@@ -150,19 +150,52 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     if causal:
         needed = jnp.logical_and(needed, kv_block_start <= last_q_pos)
 
+    # Sq == 1 MHA decode (one q row per kv head): pure-VPU matvec path.
+    # (GQA decode, group > 1, takes the MXU path below — its G-row blocks
+    # amortize the transpose G times better.)
+    decode = block_q == group and group == 1
+
     @pl.when(needed)
     def _compute():
-        # dots run on the storage dtype (bf16 MXU passes, f32 accumulate);
-        # casting whole blocks to f32 in VMEM doubled the stack footprint
-        q = q_ref[0]                                  # [K, bq, D]
         k = k_ref[kv0]                                # [bk, K, D]
         if ks_ref is not None:                        # int8 dequant in VMEM
-            k = (k.astype(jnp.float32)
-                 * ks_ref[kv0][..., None]).astype(q.dtype)
-        else:
-            k = k.astype(q.dtype)
-        k = jnp.swapaxes(k, 0, 1)                     # [K, bk, D] (VMEM
-        # shuffle; Mosaic requires batch dims at equal operand positions)
+            k = k.astype(jnp.float32) * ks_ref[kv0][..., None]
+        v = v_ref[kv0]
+        if vs_ref is not None:
+            v = v.astype(jnp.float32) * vs_ref[kv0][..., None]
+
+        if decode:
+            # Decode is a matvec: one q row per kv head against the kv
+            # stream. Runs entirely on the VPU in the kv block's native
+            # [bk, K, D] layout — lane reduction over D, sublane reduction
+            # over bk. The MXU/transpose path below paid an ~800 µs/call
+            # relayout (swapaxes of every block) for M=1 matmuls.
+            q = q_ref[0].reshape(-1, q_ref.shape[-1]).astype(jnp.float32)
+            kf = k.astype(jnp.float32)                # [bk, K, D]
+            vf = v.astype(jnp.float32)
+            cols1 = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
+                     + kv_block_start)                # [bk, 1]
+            mask1 = cols1 < kv_len                    # decode: causal implied
+            m_prev = m_ref[:]                         # [K, 1]
+            l_prev = l_ref[:]
+            s = jnp.sum(kf * q[None, :, :], axis=2) * sm_scale
+            s = jnp.where(mask1, s, _NEG_INF)                 # [bk, K]
+            m_curr = jnp.max(s, axis=0)[:, None]              # [K, 1]
+            m_new = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_new)                   # [K, 1]
+            p = jnp.exp(s - m_new.reshape(-1)[None, :])
+            p = jnp.where(mask1, p, 0.0)                      # [bk, K]
+            l_ref[:] = alpha * l_prev + jnp.sum(p, axis=0)[:, None]
+            pv = jnp.sum(vf * p[:, :, None], axis=0)          # [K, D]
+            acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv[:, None, :]
+            m_ref[:] = m_new
+            return
+
+        # Prefill: MXU path. Dots run on the storage dtype (bf16 MXU
+        # passes, f32 accumulate); the transpose amortizes over bq rows.
+        q = q_ref[0]                                  # [K, bq, D]
+        k = jnp.swapaxes(k.astype(q.dtype), 0, 1)     # [K, bk, D] (Mosaic
+        # requires batch dims at equal operand positions)
         # K-batched q·kᵀ: [K, bq, bk]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
@@ -185,13 +218,7 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         p = jnp.where(mask, p, 0.0)
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=2)
 
-        v = v_ref[kv0]                                # [bk, K, D]
-        if vs_ref is not None:
-            v = (v.astype(jnp.float32)
-                 * vs_ref[kv0][..., None]).astype(q.dtype)
-        else:
-            v = v.astype(q.dtype)
-        v = jnp.swapaxes(v, 0, 1)                     # [K, bk, D]
+        v = jnp.swapaxes(v.astype(q.dtype), 0, 1)     # [K, bk, D]
         pv = jax.lax.dot_general(
             p.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)       # [K, bq, D]
@@ -255,16 +282,26 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
 
     prefetch = [q_start, kv_len]
     np_ = 2
+
+    def clamp_j(j, kl_ref, b):
+        # clamp the kv block index to this sequence's last valid block:
+        # consecutive identical block indices make Mosaic skip the DMA, so
+        # blocks past kv_len[b] cost nothing (pl.when already skips their
+        # compute) — a per-sequence dynamic watermark on top of the static
+        # kv_hi one.
+        last = jnp.maximum((kl_ref[b] + bk - 1) // bk - 1, 0)
+        return jnp.minimum(j, last)
+
     if layered:
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
         np_ = 3
-        kv_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, j, 0, 0)
-        sc_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, j, 0)
+        kv_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
+        sc_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0)
         kv_blk = (1, 1, bk, K, D)
         sc_blk = (1, 1, bk, K)
     else:
-        kv_ix = lambda b, i, j, qs, kl: (b, j, 0, 0)
-        sc_ix = lambda b, i, j, qs, kl: (b, j, 0)
+        kv_ix = lambda b, i, j, qs, kl: (b, clamp_j(j, kl, b), 0, 0)
+        sc_ix = lambda b, i, j, qs, kl: (b, clamp_j(j, kl, b), 0)
         kv_blk = (1, bk, K, D)
         sc_blk = (1, bk, K)
 
