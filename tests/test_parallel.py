@@ -111,3 +111,16 @@ def test_mesh_validation():
     mesh = make_mesh(dp=1, tp=4, devices=jax.devices("cpu"))
     with pytest.raises(ValueError, match="num_kv_heads"):
         validate_mesh(CFG, ENG, mesh)  # 2 kv heads % 4 != 0
+
+
+def test_multihost_mesh_single_process():
+    """make_multihost_mesh on one host behaves like make_mesh."""
+    from llm_inference_engine_tpu.parallel import make_multihost_mesh
+    from llm_inference_engine_tpu.utils import cpu_devices
+    mesh = make_multihost_mesh(dp=2, tp=4, devices=cpu_devices(8))
+    assert mesh.shape["data"] == 2 and mesh.shape["model"] == 4
+
+
+def test_initialize_multihost_noop():
+    from llm_inference_engine_tpu.parallel import initialize_multihost
+    initialize_multihost()  # single process: must be a clean no-op
