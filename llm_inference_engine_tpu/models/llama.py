@@ -92,16 +92,25 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         qkv, positions, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
         cfg.rope_theta, cfg.rope_scaling, kernels=kernels)
 
-    # cache write before attend (decoder_self_attention.cu:126,172 semantics)
-    cache = kvc.update_cache_at_layer(cache, layer_idx, k_new, v_new, q_start,
-                                      new_len=kv_len - q_start,
-                                      kernels=kernels)
-
-    attn_out = attention(q, cache.k, cache.v, q_start, kv_len,
-                         causal=True, block_q=eng.block_q,
-                         block_kv=eng.block_kv, kernels=kernels,
-                         k_scale=cache.k_scale, v_scale=cache.v_scale,
-                         layer=layer_idx, kv_hi=kv_hi)
+    from llm_inference_engine_tpu.ops.attention import (
+        attention_decode_fused, can_fuse_decode)
+    if model_axis is None and can_fuse_decode(q.shape, cache, kernels):
+        # fused decode: one kernel writes the token's K/V (aliased DMA) and
+        # attends history + current; saves a Pallas invocation per layer
+        attn_out, ck, cv = attention_decode_fused(
+            q, k_new, v_new, cache.k, cache.v, q_start, kv_len,
+            layer_idx, block_kv=eng.block_kv, kv_hi=kv_hi)
+        cache = dataclasses.replace(cache, k=ck, v=cv)
+    else:
+        # write before attend (decoder_self_attention.cu:126,172 semantics)
+        cache = kvc.update_cache_at_layer(cache, layer_idx, k_new, v_new,
+                                          q_start, new_len=kv_len - q_start,
+                                          kernels=kernels)
+        attn_out = attention(q, cache.k, cache.v, q_start, kv_len,
+                             causal=True, block_q=eng.block_q,
+                             block_kv=eng.block_kv, kernels=kernels,
+                             k_scale=cache.k_scale, v_scale=cache.v_scale,
+                             layer=layer_idx, kv_hi=kv_hi)
     attn_out = attn_out.reshape(B, T, cfg.q_size)
     attn_out = reduce_partial(lin("wo", attn_out))
 

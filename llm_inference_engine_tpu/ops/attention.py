@@ -232,6 +232,161 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         o_ref[0] = (acc_ref[:] / l_safe[:, :, None]).astype(o_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Fused decode: write the new token's K/V into the cache AND attend, in one
+# kernel. Separate write+attend kernels pay one extra Pallas invocation per
+# layer per step; fusing also removes the write-before-read ordering (the
+# current token is attended straight from VMEM, the cache-side mask covers
+# history only, and the DMA lands for the NEXT step's reads).
+# MHA (group == 1), unquantized cache, Sq == 1, stacked [L, ...] cache.
+# ---------------------------------------------------------------------------
+
+def _decode_fused_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref, vnew_ref,
+                         k_ref, v_ref, o_ref, kout_ref, vout_ref,
+                         m_ref, l_ref, acc_ref, sem, *, sm_scale, block_kv,
+                         num_kv_blocks):
+    b = pl.program_id(0)
+    ikv = pl.program_id(2)
+    l = ly_ref[0]
+    kv_len = kl_ref[b]
+    hist = qs_ref[b]                  # history length; new token at `hist`
+    active = kv_len > hist
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(jnp.logical_and(ikv == 0, active))
+    def _start_write():
+        pos = hist
+        pltpu.make_async_copy(
+            knew_ref.at[0], kout_ref.at[l, b, pl.ds(pos, 1), :, :],
+            sem.at[0]).start()
+        pltpu.make_async_copy(
+            vnew_ref.at[0], vout_ref.at[l, b, pl.ds(pos, 1), :, :],
+            sem.at[1]).start()
+
+    start = ikv * block_kv
+    hist_lim = jnp.minimum(hist, kv_len)
+
+    @pl.when(start < hist_lim)
+    def _compute():
+        q = q_ref[0].reshape(-1, q_ref.shape[-1]).astype(jnp.float32)
+        kf = k_ref[(0, 0)].astype(jnp.float32)        # [bk, K, D]
+        vf = v_ref[(0, 0)].astype(jnp.float32)
+        cols1 = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
+                 + start)
+        mask1 = cols1 < hist_lim
+        m_prev = m_ref[:]
+        l_prev = l_ref[:]
+        s = jnp.sum(kf * q[None, :, :], axis=2) * sm_scale
+        s = jnp.where(mask1, s, _NEG_INF)
+        m_curr = jnp.max(s, axis=0)[:, None]
+        m_new = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new.reshape(-1)[None, :])
+        p = jnp.where(mask1, p, 0.0)
+        l_ref[:] = alpha * l_prev + jnp.sum(p, axis=0)[:, None]
+        pv = jnp.sum(vf * p[:, :, None], axis=0)
+        acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv[:, None, :]
+        m_ref[:] = m_new
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _finalize():
+        # append the current token from VMEM (never read back from HBM)
+        q = q_ref[0].reshape(-1, q_ref.shape[-1]).astype(jnp.float32)
+        kn = knew_ref[0, 0].astype(jnp.float32)       # [K, D]
+        vn = vnew_ref[0, 0].astype(jnp.float32)
+        s_new = jnp.sum(kn * q, axis=1)[:, None] * sm_scale   # [K, 1]
+        s_new = jnp.where(active, s_new, _NEG_INF)
+        m_prev = m_ref[:]
+        l_prev = l_ref[:]
+        m_new = jnp.maximum(m_prev, s_new)
+        alpha = jnp.exp(m_prev - m_new)
+        p_new = jnp.exp(s_new - m_new)
+        p_new = jnp.where(active, p_new, 0.0)
+        lsum = alpha * l_prev + p_new
+        acc = acc_ref[:] * alpha[:, :, None] + p_new[:, :, None] * vn[:, None, :]
+        l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
+        out = acc / l_safe[:, :, None]                # [K, 1, D]
+        o_ref[0] = out.reshape(out.shape[0], out.shape[2]).astype(o_ref.dtype)
+
+        @pl.when(active)
+        def _wait_write():
+            pos = hist
+            pltpu.make_async_copy(
+                knew_ref.at[0], kout_ref.at[l, b, pl.ds(pos, 1), :, :],
+                sem.at[0]).wait()
+            pltpu.make_async_copy(
+                vnew_ref.at[0], vout_ref.at[l, b, pl.ds(pos, 1), :, :],
+                sem.at[1]).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_kv", "kv_hi"))
+def _attention_decode_fused(q, k_new, v_new, k_cache, v_cache, q_start,
+                            kv_len, layer, sm_scale, block_kv, kv_hi=None):
+    """q: [B, 1, K, D]; k_new/v_new: [B, 1, K, D]; caches [L, B, S, K, D]
+    (bf16). Returns (out [B, 1, K, D], k_cache, v_cache) with the caches
+    updated in place (aliased)."""
+    B, _, H, D = q.shape
+    L, _, Skv, K, _ = k_cache.shape
+    if kv_hi is not None:
+        Skv = min(Skv, max(block_kv, round_up(kv_hi, block_kv)))
+    bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
+    nkv = cdiv(Skv, bk)
+    qr = q.reshape(B, H, D)
+    knr = k_new.astype(k_cache.dtype)     # [B, 1, K, D] (T == 1)
+    vnr = v_new.astype(v_cache.dtype)
+
+    def clamp_j(j, kl_ref, b):
+        last = jnp.maximum((kl_ref[b] + bk - 1) // bk - 1, 0)
+        return jnp.minimum(j, last)
+
+    kv_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, 1, nkv),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, i, j, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, K, D), lambda b, i, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, K, D), lambda b, i, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, bk, K, D), kv_ix),
+            pl.BlockSpec((1, 1, bk, K, D), kv_ix),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, D), lambda b, i, j, *_: (b, 0, 0)),
+            any_spec,
+            any_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, 1), jnp.float32),
+            pltpu.VMEM((K, 1), jnp.float32),
+            pltpu.VMEM((K, 1, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = functools.partial(_decode_fused_kernel, sm_scale=sm_scale,
+                             block_kv=bk, num_kv_blocks=nkv)
+    # flat operands: qs, kl, ly, q, knew, vnew, k, v -> cache at 6, 7
+    out, kc, vc = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+    )(q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), qr, knr, vnr,
+      k_cache, v_cache)
+    return out.reshape(B, 1, H, D), kc, vc
+
+
 def _mk_kernel(quant, layered, **kw):
     """Bind the prefetch/scale ref layout into a kernel callable."""
     if layered:
@@ -339,6 +494,35 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
 
     return out.reshape(B, K, Sq, G, D).transpose(0, 2, 1, 3, 4).reshape(
         B, Sq, H, D)
+
+
+def attention_decode_fused(q, k_new, v_new, k_cache, v_cache, q_start,
+                           kv_len, layer, *, sm_scale=None,
+                           block_kv: int = 128, kv_hi: int | None = None):
+    """Fused decode step for the stacked bf16 cache, MHA only: writes the
+    new token's K/V into the cache (aliased DMA) and attends
+    history-from-HBM + current-token-from-VMEM in one kernel.
+
+    q/k_new/v_new: [B, 1, H(==K), D]; caches [L, B, S, K, D].
+    q_start = history length per slot; kv_len = q_start + active.
+    Returns (out [B, 1, H, D], k_cache, v_cache).
+    """
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    return _attention_decode_fused(
+        q, k_new, v_new, k_cache, v_cache,
+        q_start.astype(jnp.int32), kv_len.astype(jnp.int32), layer,
+        float(scale), block_kv, kv_hi=kv_hi)
+
+
+def can_fuse_decode(q_shape, cache, kernels: str) -> bool:
+    """Whether the fused decode write+attend path applies: one new token,
+    MHA, unquantized stacked cache, production-aligned head dims, compiled
+    Pallas available."""
+    B, T, H, D = q_shape
+    K = cache.k.shape[3]
+    return (T == 1 and H == K and not cache.quantized
+            and D % 128 == 0 and K % 8 == 0
+            and use_pallas(kernels) and not pallas_interpret())
 
 
 def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
