@@ -320,6 +320,8 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(*extra, x2, q, scale)
 
 
