@@ -362,9 +362,9 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
         x2 = x.reshape(-1, k_in)
         m, n = x2.shape[0], t.q.shape[1]
 
-        bk = t.group_size if t.mode == "int4" else min(k_in, 512)
+        bk = t.group_size if t.mode == "int4" else min(k_in, 1024)
         bm = m if m <= 256 else 256
-        bn = n if n <= 512 else 512
+        bn = n if n <= 1024 else 1024
 
         feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
                     and _tile_ok(bk, k_in, lane=True)
@@ -409,9 +409,9 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
     m = x2.shape[0]
     n = t.q.shape[-1]
 
-    bk = t.group_size if t.mode == "int4" else min(k_in, 512)
+    bk = t.group_size if t.mode == "int4" else min(k_in, 1024)
     bm = m if m <= 256 else 256
-    bn = n if n <= 512 else 512
+    bn = n if n <= 1024 else 1024
     qrows = t.q.shape[-2]
 
     feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
