@@ -100,6 +100,23 @@ def _unpack_int4_block(packed_block: jax.Array, dtype) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=0).astype(dtype)
 
 
+def _unpack_scale_int4_block(packed_block, scale_rows, group_size, dtype):
+    """Multi-group packed block [Gb*gs/2, n] + scales [Gb, n] ->
+    dequantized [Gb*gs, n] weights in ``dtype``. Per-group nibble layout as
+    in _pack_int4; the per-group scale is applied to the unpacked weights
+    in VMEM so one big MXU dot covers all Gb groups (one dot per group made
+    the int4 path grid-step-bound at ~28% of the HBM roofline)."""
+    half = group_size // 2
+    rows2, n = packed_block.shape
+    gb = rows2 // half
+    b = packed_block.reshape(gb, half, n).astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
+    hi = jnp.right_shift(b, 4)
+    w = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [Gb, gs, n]
+    w = w * scale_rows[:, None, :]
+    return w.reshape(gb * group_size, n).astype(dtype)
+
+
 def _unpack_int4(packed: jax.Array, group_size: int) -> jax.Array:
     """[in//2, out] packed -> [in, out] int8 (host/golden path)."""
     k2, n = packed.shape
@@ -206,7 +223,8 @@ def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
         o_ref[:] = (acc_ref[:] * scale[None, :]).astype(o_ref.dtype)
 
 
-def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
+def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks,
+                        group_size):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -214,11 +232,12 @@ def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]                                    # [bm, bk]
-    w = _unpack_int4_block(_block2d(q_ref), x.dtype)  # [bk, bn]
-    part = jax.lax.dot_general(
+    qb = _block2d(q_ref)                            # [bk/2, bn] packed
+    sb = s_ref[...]                                 # [.., Gb(, 1), bn]
+    sb = sb.reshape(-1, sb.shape[-1])               # [Gb, bn]
+    w = _unpack_scale_int4_block(qb, sb, group_size, x.dtype)  # [bk, bn]
+    acc_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    scale = s_ref[...].reshape(-1)                  # one group per K block
-    acc_ref[:] += part * scale[None, :]
 
     @pl.when(ik == num_k_blocks - 1)
     def _fin():
@@ -265,17 +284,18 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
                 s_ix = lambda i, j, l, ly: (ly[0], 0, j)
                 s_blk = (1, 1, bn)
         else:
-            # int4 grouped scales: insert a singleton second-minor axis so
-            # the (.., 1, bn) block is legal ([L, G, n] -> [L, G, 1, n])
+            # int4 grouped scales, Gb = bk/group groups per K block; a
+            # singleton second-minor axis keeps the (.., 1, bn) block legal
+            gb = bk // group_size
             if structured:                       # [L, 2, G, I]
                 scale = scale.reshape(*scale.shape[:3], 1, scale.shape[3])
                 s_ix = lambda i, j, l, ly: (ly[0], sel, l, 0, j)
-                s_blk = (1, 1, 1, 1, bn)
+                s_blk = (1, 1, gb, 1, bn)
             else:                                # [L, G, n]
                 scale = scale.reshape(scale.shape[0], scale.shape[1], 1,
                                       scale.shape[2])
                 s_ix = lambda i, j, l, ly: (ly[0], l, 0, j)
-                s_blk = (1, 1, 1, bn)
+                s_blk = (1, gb, 1, bn)
         x_ix = lambda i, j, l, ly: (i, l)
         o_ix = lambda i, j, l, ly: (i, j)
         num_prefetch = 1
@@ -288,18 +308,21 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
             s_blk = (1, bn)
         else:
             # scale [groups, n] -> [groups, 1, n] so the block satisfies
-            # TPU tiling rules
+            # TPU tiling rules; Gb groups per K block
+            gb = bk // group_size
             scale = scale.reshape(scale.shape[0], 1, scale.shape[1])
             s_ix = lambda i, j, l: (l, 0, j)
-            s_blk = (1, 1, bn)
+            s_blk = (gb, 1, bn)
         x_ix = lambda i, j, l: (i, l)
         o_ix = lambda i, j, l: (i, j)
         num_prefetch = 0
         extra = ()
 
-    kern = functools.partial(
-        _int8_matmul_kernel if mode == "int8" else _int4_matmul_kernel,
-        num_k_blocks=nk)
+    if mode == "int8":
+        kern = functools.partial(_int8_matmul_kernel, num_k_blocks=nk)
+    else:
+        kern = functools.partial(_int4_matmul_kernel, num_k_blocks=nk,
+                                 group_size=group_size)
     if num_prefetch:
         base = kern
         kern = lambda ly_ref, *refs: base(*refs)
@@ -362,13 +385,19 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
         x2 = x.reshape(-1, k_in)
         m, n = x2.shape[0], t.q.shape[1]
 
-        bk = t.group_size if t.mode == "int4" else min(k_in, 1024)
+        if t.mode == "int4":
+            bk = min(k_in, max(t.group_size,
+                               (1024 // t.group_size) * t.group_size))
+        else:
+            bk = min(k_in, 1024)
         bm = m if m <= 256 else 256
         bn = n if n <= 1024 else 1024
 
         feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
                     and _tile_ok(bk, k_in, lane=True)
-                    and (t.mode != "int4" or _tile_ok(bk // 2, t.q.shape[0])))
+                    and (t.mode != "int4" or
+                         (_tile_ok(bk // 2, t.q.shape[0])
+                          and k_in % bk == 0)))
         if not feasible:  # tiny/debug shapes: XLA path (still fused by XLA)
             return quantized_linear_xla(x, t, bias, out_dtype)
         y = _quantized_matmul_pallas(
@@ -409,14 +438,19 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
     m = x2.shape[0]
     n = t.q.shape[-1]
 
-    bk = t.group_size if t.mode == "int4" else min(k_in, 1024)
+    if t.mode == "int4":
+        bk = min(k_in, max(t.group_size,
+                           (1024 // t.group_size) * t.group_size))
+    else:
+        bk = min(k_in, 1024)
     bm = m if m <= 256 else 256
     bn = n if n <= 1024 else 1024
     qrows = t.q.shape[-2]
 
     feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
                 and _tile_ok(bk, k_in, lane=True)
-                and (t.mode != "int4" or _tile_ok(bk // 2, qrows)))
+                and (t.mode != "int4" or
+                     (_tile_ok(bk // 2, qrows) and k_in % bk == 0)))
     if not feasible:
         return quantized_linear(x, t, bias, out_dtype, kernels="xla",
                                 layer=layer)

@@ -175,6 +175,12 @@ class InferenceEngine:
         on top of the cached rounds). Slots not listed are untouched: their
         rows run with zero new tokens, whose cache writes land beyond their
         valid lengths and are overwritten before ever being attended.
+
+        Prompts longer than ``max_prefill_len`` run as multiple chunked
+        forward passes (each chunk attends the cache filled by its
+        predecessors), bounding both jit shape variants and activation
+        memory regardless of prompt length.
+
         Returns last-token logits [B, V] (rows for untouched slots are
         don't-care).
         """
@@ -186,22 +192,43 @@ class InferenceEngine:
             raise ValueError(f"{len(prompts)} prompts > {B} slots"
                              if len(prompts) > B else
                              f"{len(slots)} slots for {len(prompts)} prompts")
+        C = max(1, eng.max_prefill_len)
         max_len = max(len(p) for p in prompts)
-        T = _bucket_len(max_len, cap=eng.max_seq_len)
-        token_ids = np.zeros((B, T), np.int32)
-        new_len = np.zeros((B,), np.int32)
-        for slot, p in zip(slots, prompts):
-            token_ids[slot, :len(p)] = np.asarray(p, np.int32)
-            new_len[slot] = len(p)
-        q_start = self.cache.lengths
-        lengths_host = np.asarray(jax.device_get(q_start))
-        kv_hi = self._kv_watermark(lengths_host + new_len, 0)
-        kv_len = q_start + jnp.asarray(new_len)
-        logits, self.cache = self._prefill_fn(
-            self.params, self.cache, jnp.asarray(token_ids), q_start, kv_len,
-            kv_hi=kv_hi)
-        self.cache = dataclasses.replace(self.cache, lengths=kv_len)
-        return logits
+        lengths_host = np.asarray(jax.device_get(self.cache.lengths))
+
+        final_logits = None
+        offset = 0
+        while offset == 0 or offset < max_len:
+            chunk_lens = np.zeros((B,), np.int32)
+            chunk_max = 0
+            for slot, p in zip(slots, prompts):
+                n = min(max(len(p) - offset, 0), C)
+                chunk_lens[slot] = n
+                chunk_max = max(chunk_max, n)
+            T = _bucket_len(max(chunk_max, 1), cap=C)
+            token_ids = np.zeros((B, T), np.int32)
+            for slot, p in zip(slots, prompts):
+                chunk = p[offset:offset + chunk_lens[slot]]
+                token_ids[slot, :len(chunk)] = np.asarray(chunk, np.int32)
+
+            q_start = self.cache.lengths
+            kv_hi = self._kv_watermark(lengths_host + chunk_lens, 0)
+            kv_len = q_start + jnp.asarray(chunk_lens)
+            logits, self.cache = self._prefill_fn(
+                self.params, self.cache, jnp.asarray(token_ids), q_start,
+                kv_len, kv_hi=kv_hi)
+            self.cache = dataclasses.replace(self.cache, lengths=kv_len)
+            lengths_host = lengths_host + chunk_lens
+
+            if final_logits is None:
+                final_logits = logits
+            else:
+                # a slot's logits come from the chunk holding its last token
+                had_tokens = jnp.asarray(chunk_lens > 0)
+                final_logits = jnp.where(had_tokens[:, None], logits,
+                                         final_logits)
+            offset += C
+        return final_logits
 
     def _sampling_arrays(self, sp: SamplingParams):
         B = self.engine_config.max_batch_size

@@ -86,3 +86,30 @@ def test_sampled_generation_runs(engine):
     r = engine.generate([[1, 2, 3]], sp, eos_token_id=None)
     assert 0 < len(r.token_ids[0]) <= 6
     assert all(0 <= t < CFG.vocab_size for t in r.token_ids[0])
+
+
+def test_chunked_prefill_matches_single_shot():
+    """Prompts longer than max_prefill_len run as several chunked forward
+    passes; logits must equal the single-shot prefill."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from llm_inference_engine_tpu.config import EngineConfig, get_config
+    from llm_inference_engine_tpu.models.weights import init_dummy_params
+    from llm_inference_engine_tpu.runtime.engine import InferenceEngine
+
+    cfg = get_config("debug")
+    params = init_dummy_params(cfg, seed=0, scale=0.3)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg.vocab_size, size=n).tolist()
+               for n in (37, 5, 23)]
+
+    def logits_with(prefill_chunk):
+        eng = EngineConfig(max_batch_size=3, max_seq_len=64, kernels="xla",
+                           max_prefill_len=prefill_chunk)
+        engine = InferenceEngine(cfg, eng, params)
+        return np.asarray(engine.prefill(prompts))
+
+    single = logits_with(64)
+    chunked = logits_with(8)
+    np.testing.assert_allclose(chunked, single, atol=1e-4, rtol=1e-4)
