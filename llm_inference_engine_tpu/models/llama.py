@@ -110,7 +110,8 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
                              causal=True, block_q=eng.block_q,
                              block_kv=eng.block_kv, kernels=kernels,
                              k_scale=cache.k_scale, v_scale=cache.v_scale,
-                             layer=layer_idx, kv_hi=kv_hi)
+                             layer=layer_idx, kv_hi=kv_hi,
+                             embedded_kv=cache.embedded_scales)
     attn_out = attn_out.reshape(B, T, cfg.q_size)
     attn_out = reduce_partial(lin("wo", attn_out))
 

@@ -50,6 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from llm_inference_engine_tpu.utils import (cdiv, pallas_interpret, round_up,
                                             use_pallas)
+from llm_inference_engine_tpu.ops.kv_cache import (EMBED_PAD,
+                                                   decode_embedded_scales)
 
 __all__ = ["attention", "attention_xla"]
 
@@ -62,7 +64,7 @@ _NEG_INF = -1e30
 
 def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
                   sm_scale: float | None = None, k_scale=None, v_scale=None,
-                  layer=None):
+                  layer=None, embedded_kv: bool = False):
     """Dense-masked attention (golden reference; O(Sq*Skv) memory).
 
     q:       [B, Sq, H, D]
@@ -84,6 +86,13 @@ def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
             v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer, 0,
                                                    keepdims=False)
     B, Sq, H, D = q.shape
+    if embedded_kv:
+        K = k_cache.shape[2] - EMBED_PAD
+        ks = decode_embedded_scales(k_cache[:, :, K, :], K)   # [B, Skv, K]
+        vs = decode_embedded_scales(v_cache[:, :, K, :], K)
+        k_cache = k_cache[:, :, :K, :]
+        v_cache = v_cache[:, :, :K, :]
+        k_scale, v_scale = ks, vs
     Skv, K = k_cache.shape[1], k_cache.shape[2]
     G = H // K
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
@@ -121,7 +130,8 @@ def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
 
 def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                  o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_q,
-                 block_kv, group, causal, num_kv_blocks, kv_lead):
+                 block_kv, group, causal, num_kv_blocks, kv_lead,
+                 embedded=False):
     """One (batch, q-block, kv-block) step over all K kv heads.
 
     q block:   [K, bq, D] (bq query rows per head; row r = i*G + g)
@@ -157,12 +167,20 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     @pl.when(needed)
     def _compute():
-        k = k_ref[kv0]                                # [bk, K, D]
-        if ks_ref is not None:                        # int8 dequant in VMEM
-            k = k.astype(jnp.float32) * ks_ref[kv0][..., None]
+        k = k_ref[kv0]                                # [bk, K(+pad), D]
         v = v_ref[kv0]
-        if vs_ref is not None:
-            v = v.astype(jnp.float32) * vs_ref[kv0][..., None]
+        if embedded:
+            # int8 values + in-row log2 scale codes (kv_cache.py)
+            Kr = k.shape[1] - EMBED_PAD
+            kssc = decode_embedded_scales(k[:, Kr, :], Kr)     # [bk, K]
+            vssc = decode_embedded_scales(v[:, Kr, :], Kr)
+            k = k[:, :Kr].astype(jnp.float32) * kssc[..., None]
+            v = v[:, :Kr].astype(jnp.float32) * vssc[..., None]
+        else:
+            if ks_ref is not None:                    # int8 dequant in VMEM
+                k = k.astype(jnp.float32) * ks_ref[kv0][..., None]
+            if vs_ref is not None:
+                v = v.astype(jnp.float32) * vs_ref[kv0][..., None]
 
         if decode:
             # Decode is a matvec: one q row per kv head against the kv
@@ -409,14 +427,15 @@ def _mk_kernel(quant, layered, **kw):
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_kv", "interpret",
-                     "kv_hi"))
+                     "kv_hi", "embedded"))
 def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
                       block_q, block_kv, interpret, k_scale=None,
-                      v_scale=None, layer=None, kv_hi=None):
+                      v_scale=None, layer=None, kv_hi=None, embedded=False):
     B, Sq, H, D = q.shape
     layered = layer is not None
-    Skv, K = (k_cache.shape[2], k_cache.shape[3]) if layered else \
+    Skv, Kst = (k_cache.shape[2], k_cache.shape[3]) if layered else \
         (k_cache.shape[1], k_cache.shape[2])
+    K = Kst - EMBED_PAD if embedded else Kst
     G = H // K
     rows = Sq * G
     quant = k_scale is not None
@@ -426,6 +445,10 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
     if kv_hi is not None:
         Skv = min(Skv, max(block_kv, round_up(kv_hi, block_kv)))
 
+    if embedded and rows > G:
+        # prefill with embedded int8: the in-kernel dequant holds f32 copies
+        # of the (bk, K+pad, D) blocks — halve the kv block to fit VMEM
+        block_kv = min(block_kv, 64)
     bq = rows if rows <= block_q else max(8, (block_q // 8) * 8)
     bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
     nq = cdiv(rows, bq)
@@ -452,12 +475,12 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
         np_ = 3
         kv_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
         sc_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0)
-        kv_blk = (1, 1, bk, K, D)
+        kv_blk = (1, 1, bk, Kst, D)
         sc_blk = (1, 1, bk, K)
     else:
         kv_ix = lambda b, i, j, qs, kl: (b, clamp_j(j, kl, b), 0, 0)
         sc_ix = lambda b, i, j, qs, kl: (b, clamp_j(j, kl, b), 0)
-        kv_blk = (1, bk, K, D)
+        kv_blk = (1, bk, Kst, D)
         sc_blk = (1, bk, K)
 
     in_specs = [
@@ -484,7 +507,7 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
     )
     kern = _mk_kernel(quant, layered, sm_scale=sm_scale, block_q=bq,
                       block_kv=bk, group=G, causal=causal, num_kv_blocks=nkv,
-                      kv_lead=2 if layered else 1)
+                      kv_lead=2 if layered else 1, embedded=embedded)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -528,7 +551,8 @@ def can_fuse_decode(q_shape, cache, kernels: str) -> bool:
 def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
               sm_scale: float | None = None, block_q: int = 128,
               block_kv: int = 128, kernels: str = "auto", k_scale=None,
-              v_scale=None, layer=None, kv_hi: int | None = None):
+              v_scale=None, layer=None, kv_hi: int | None = None,
+              embedded_kv: bool = False):
     """Flash attention of q against the (already updated) KV cache.
 
     See attention_xla for shapes (token-major [.., Skv, K, D] cache).
@@ -543,10 +567,12 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
     if not use_pallas(kernels):
         return attention_xla(q, k_cache, v_cache, q_start, kv_len,
                              causal=causal, sm_scale=sm_scale,
-                             k_scale=k_scale, v_scale=v_scale, layer=layer)
+                             k_scale=k_scale, v_scale=v_scale, layer=layer,
+                             embedded_kv=embedded_kv)
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
     return _attention_pallas(
         q, k_cache, v_cache,
         q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
         causal, float(scale), block_q, block_kv, pallas_interpret(),
-        k_scale=k_scale, v_scale=v_scale, layer=layer, kv_hi=kv_hi)
+        k_scale=k_scale, v_scale=v_scale, layer=layer, kv_hi=kv_hi,
+        embedded=embedded_kv)

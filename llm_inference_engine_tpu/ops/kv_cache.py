@@ -57,8 +57,18 @@ __all__ = ["KVCache", "new_kv_cache", "update_layer_cache",
 class KVCache:
     """k/v: [L, B, S, K, D] token-major; lengths: [B] valid tokens per slot.
 
-    When quantized (int8 storage), k_scale/v_scale are [L, B, S, K] f32
-    per-(token, head) absmax scales; otherwise None.
+    Two int8-quantized variants:
+    - separate scales: k_scale/v_scale [L, B, S, K] f32 per-(token, head)
+      absmax scales (portable; scale writes go through XLA DUS);
+    - embedded scales (``embedded_scales``): the arrays are
+      [L, B, S, K+8, D] int8 (8 pad rows keep DMA slices tile-aligned) and
+      row K of each token carries the scales as log2-quantized 16-bit
+      codes (hi byte in lanes [0, K), low byte in lanes [K, 2K)) — values
+      + scales travel in ONE aliased DMA, which is what keeps the int8
+      cache at speed (separate scale arrays cannot be DMA'd to unaligned
+      token positions, and XLA DUS on them forced whole-array copies per
+      layer). Values are quantized against the snapped scale 2^(code/256),
+      so dequantization is exact.
     """
 
     k: jax.Array
@@ -66,6 +76,8 @@ class KVCache:
     lengths: jax.Array
     k_scale: Optional[jax.Array] = None
     v_scale: Optional[jax.Array] = None
+    embedded_scales: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
 
     @property
     def num_layers(self) -> int:
@@ -80,23 +92,48 @@ class KVCache:
         return self.k.shape[2]
 
     @property
+    def num_kv_heads(self) -> int:
+        return self.k.shape[3] - (EMBED_PAD if self.embedded_scales else 0)
+
+    @property
     def quantized(self) -> bool:
-        return self.k_scale is not None
+        return self.k_scale is not None or self.embedded_scales
+
+
+EMBED_PAD = 8  # extra rows per token (codes in the first, rest zero):
+               # DMA slices need the head dim to stay a multiple of 8
+
+
+def embedded_supported(num_kv_heads: int, head_dim: int) -> bool:
+    """hi+lo scale bytes for all K heads must fit one D-lane row, and the
+    slice/tiling rules must hold."""
+    return (2 * num_kv_heads <= head_dim and num_kv_heads % 8 == 0
+            and head_dim % 128 == 0)
 
 
 def new_kv_cache(num_layers: int, batch_size: int, num_kv_heads: int,
                  max_seq_len: int, head_dim: int, dtype=jnp.bfloat16,
-                 quantized: bool = False) -> KVCache:
-    shape = (num_layers, batch_size, max_seq_len, num_kv_heads, head_dim)
-    store_dtype = jnp.int8 if quantized else dtype
-    k = jnp.zeros(shape, store_dtype)
-    v = jnp.zeros(shape, store_dtype)
+                 quantized: bool = False,
+                 embedded: Optional[bool] = None) -> KVCache:
     lengths = jnp.zeros((batch_size,), jnp.int32)
     if quantized:
+        if embedded is None:
+            embedded = (embedded_supported(num_kv_heads, head_dim)
+                        and use_pallas("auto") and not pallas_interpret())
+        if embedded:
+            shape = (num_layers, batch_size, max_seq_len,
+                     num_kv_heads + EMBED_PAD, head_dim)
+            return KVCache(jnp.zeros(shape, jnp.int8),
+                           jnp.zeros(shape, jnp.int8), lengths,
+                           embedded_scales=True)
+        shape = (num_layers, batch_size, max_seq_len, num_kv_heads, head_dim)
         sshape = (num_layers, batch_size, max_seq_len, num_kv_heads)
-        return KVCache(k, v, lengths, jnp.ones(sshape, jnp.float32),
+        return KVCache(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape, jnp.int8), lengths,
+                       jnp.ones(sshape, jnp.float32),
                        jnp.ones(sshape, jnp.float32))
-    return KVCache(k, v, lengths)
+    shape = (num_layers, batch_size, max_seq_len, num_kv_heads, head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), lengths)
 
 
 def _quantize_kv(x: jax.Array):
@@ -107,6 +144,38 @@ def _quantize_kv(x: jax.Array):
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
                  -127, 127)
     return q.astype(jnp.int8), scale
+
+
+def quantize_kv_embedded(x: jax.Array) -> jax.Array:
+    """x: [B, T, K, D] -> int8 [B, T, K+EMBED_PAD, D] with row K carrying the
+    per-head scales as log2-quantized 16-bit codes: scale = 2^(code/256),
+    hi byte at lanes [0, K), low (unsigned) byte at lanes [K, 2K).
+    Values are quantized against the snapped scale, so dequantization via
+    the stored code is exact."""
+    B, T, K, D = x.shape
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)    # [B,T,K]
+    scale = jnp.maximum(absmax, 1e-30) / 127.0
+    code = jnp.clip(jnp.round(jnp.log2(scale) * 256.0),
+                    -32768, 32767).astype(jnp.int32)
+    snapped = jnp.exp2(code.astype(jnp.float32) / 256.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / snapped[..., None]),
+                 -127, 127).astype(jnp.int8)
+    hi = jnp.right_shift(code, 8).astype(jnp.int8)               # [B,T,K]
+    lo = jnp.bitwise_and(code, 255).astype(jnp.uint8).astype(jnp.int8)
+    rows = jnp.zeros((B, T, EMBED_PAD, D), jnp.int8)
+    rows = rows.at[..., 0, :K].set(hi).at[..., 0, K:2 * K].set(lo)
+    return jnp.concatenate([q, rows], axis=2)
+
+
+def decode_embedded_scales(srow, num_kv_heads: int):
+    """Scale row(s) int8 [.., D] -> f32 scales [.., K]. Pure jnp math
+    (exp2 + integer ops) so it runs both in Mosaic kernels and in the XLA
+    golden."""
+    K = num_kv_heads
+    hi = srow[..., :K].astype(jnp.int32)
+    lo = jnp.bitwise_and(srow[..., K:2 * K].astype(jnp.int32), 255)
+    code = hi * 256 + lo
+    return jnp.exp2(code.astype(jnp.float32) / 256.0)
 
 
 def _update_one(cache_b, new_b, start):
@@ -290,6 +359,27 @@ def update_cache_at_layer(cache: KVCache, layer, new_k: jax.Array,
     # as dynamic_update_slice; callers must keep real tokens in range)
     starts = jnp.minimum(starts.astype(jnp.int32),
                          cache.k.shape[2] - new_k.shape[1])
+
+    if cache.embedded_scales:
+        # quantize + pack values and scale codes into one [B,T,K+1,D] int8
+        # array per side; from here the write is the plain (unquantized)
+        # path — one aliased DMA per sequence carries values AND scales
+        qk = quantize_kv_embedded(new_k)
+        qv = quantize_kv_embedded(new_v)
+        K, D = new_k.shape[2], new_k.shape[3]
+        pallas_ok = (use_pallas(kernels) and not pallas_interpret()
+                     and D % 128 == 0 and K % 8 == 0)
+        if pallas_ok:
+            k, v = _write_pallas(cache.k, cache.v, None, None, qk, qv,
+                                 None, None, starts, new_len, layer,
+                                 quantized=False)
+            return dataclasses.replace(cache, k=k, v=v)
+        upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0),
+                       out_axes=1)
+        return dataclasses.replace(
+            cache,
+            k=upd(cache.k, qk, layer, starts),
+            v=upd(cache.v, qv, layer, starts))
 
     # the DMA slices (T, K, D) spans; Mosaic requires the trailing tiled
     # dims be tile-aligned (K % 8, D % 128) — true for every production

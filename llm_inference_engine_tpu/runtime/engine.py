@@ -77,7 +77,10 @@ class InferenceEngine:
             config.num_layers, engine_config.max_batch_size,
             config.num_kv_heads, engine_config.max_seq_len, config.head_dim,
             dtype=config.dtype,
-            quantized=engine_config.kv_cache_dtype == jnp.int8)
+            quantized=engine_config.kv_cache_dtype == jnp.int8,
+            # embedded scale rows are single-device only (sharding the
+            # padded head axis would split the scale row off its heads)
+            embedded=False if (mesh is not None) else None)
 
         if mesh is not None:
             from llm_inference_engine_tpu.parallel import sharding

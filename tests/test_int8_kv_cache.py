@@ -82,3 +82,74 @@ def test_engine_generate_with_int8_cache(rng):
     # first token comes from prefill logits; int8 cache noise may diverge
     # the sequence later, but the first token must match
     assert r.token_ids[0][0] == r2.token_ids[0][0]
+
+
+def test_embedded_scale_roundtrip(rng):
+    """Embedded log2-scale codes dequantize exactly to the snapped scale."""
+    from llm_inference_engine_tpu.ops.kv_cache import (
+        EMBED_PAD, decode_embedded_scales, quantize_kv_embedded)
+    x = rng.normal(size=(2, 5, 8, 128)).astype(np.float32) * 3.0
+    packed = quantize_kv_embedded(jnp.asarray(x))
+    assert packed.shape == (2, 5, 8 + EMBED_PAD, 128)
+    scales = decode_embedded_scales(packed[:, :, 8, :], 8)      # [2,5,8]
+    deq = np.asarray(packed[:, :, :8].astype(np.float32)) * \
+        np.asarray(scales)[..., None]
+    np.testing.assert_allclose(deq, x, atol=np.abs(x).max() / 100)
+
+
+def test_attention_embedded_matches_separate_scales(rng):
+    """Embedded-scale attention == separate-scale attention on the same
+    quantized values (XLA golden; the Pallas kernel path shares the exact
+    decode_embedded_scales math)."""
+    from llm_inference_engine_tpu.ops.kv_cache import (
+        decode_embedded_scales, quantize_kv_embedded)
+    B, S, K, D = 2, 16, 8, 128
+    kf = rng.normal(size=(B, S, K, D)).astype(np.float32)
+    vf = rng.normal(size=(B, S, K, D)).astype(np.float32)
+    packed_k = quantize_kv_embedded(jnp.asarray(kf))
+    packed_v = quantize_kv_embedded(jnp.asarray(vf))
+    q = jnp.asarray(rng.normal(size=(B, 1, K, D)).astype(np.float32))
+    qs = jnp.asarray(np.array([4, 15], np.int32))
+    kl = qs + 1
+
+    emb = attention(q, packed_k, packed_v, qs, kl, kernels="xla",
+                    embedded_kv=True)
+    ks = decode_embedded_scales(packed_k[:, :, K, :], K)
+    vs = decode_embedded_scales(packed_v[:, :, K, :], K)
+    sep = attention(q, packed_k[:, :, :K], packed_v[:, :, :K], qs, kl,
+                    kernels="xla", k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(sep),
+                               atol=1e-5, rtol=1e-5)
+    # and pallas interpret path
+    embp = attention(q, packed_k, packed_v, qs, kl, kernels="pallas",
+                     embedded_kv=True, block_kv=8)
+    np.testing.assert_allclose(np.asarray(embp), np.asarray(emb),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_engine_embedded_cache_forward(rng):
+    """Full forward with an embedded-scale cache tracks the fp-cache
+    forward (uses a config meeting the alignment requirements)."""
+    from llm_inference_engine_tpu.config import ModelConfig
+    cfg = ModelConfig(name="emb-test", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=8,
+                      num_kv_heads=8, head_dim=128, dtype_name="float32")
+    params = init_dummy_params(cfg, seed=1)
+    eng = EngineConfig(max_batch_size=1, max_seq_len=32, kernels="xla")
+    ids = np.random.default_rng(3).integers(
+        0, cfg.vocab_size, size=(1, 10)).astype(np.int32)
+
+    def run(quantized, embedded):
+        cache = kvc.new_kv_cache(cfg.num_layers, 1, cfg.num_kv_heads, 32,
+                                 cfg.head_dim, dtype=cfg.dtype,
+                                 quantized=quantized, embedded=embedded)
+        logits, _ = M.forward_hidden(cfg, eng, params, jnp.asarray(ids),
+                                     cache, jnp.zeros((1,), jnp.int32),
+                                     jnp.asarray([10], jnp.int32))
+        return np.asarray(logits)
+
+    lf = run(False, None)
+    lq = run(True, True)
+    assert lf.argmax() == lq.argmax()
+    rel = np.abs(lf - lq).max() / (np.abs(lf).max() + 1e-9)
+    assert rel < 0.05, rel
