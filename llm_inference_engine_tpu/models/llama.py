@@ -128,6 +128,59 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
     return x_out, cache
 
 
+def run_layers(cfg: ModelConfig, eng: EngineConfig, layers_params, x,
+               cache: kvc.KVCache, positions, q_start, kv_len,
+               model_axis=None, kv_hi=None, write_gate=None):
+    """The decoder layer loop: one ``lax.scan`` over stacked layer weights
+    with the cache riding the carry (whole, never sliced per layer).
+    ``layers_params`` holds as many layers as ``cache`` does — under
+    pipeline parallelism that is this stage's local slice.
+
+    ``write_gate`` (traced bool, used by the pipeline-parallel driver):
+    when False, cache writes are skipped entirely — an SPMD pipeline stage
+    runs every tick but only its own tick carries real activations.
+    """
+    num_layers = cache.num_layers
+
+    # quantized stacked weights never enter the scan xs (the per-layer
+    # slice would force multi-GB relayout copies); they are closed over
+    # whole and indexed inside the matmul kernels by layer
+    from llm_inference_engine_tpu.ops.quant import QuantizedTensor
+    xs_layers = {k: v for k, v in layers_params.items()
+                 if not isinstance(v, QuantizedTensor)}
+    stacked = {k: v for k, v in layers_params.items()
+               if isinstance(v, QuantizedTensor)}
+
+    def step(x_carry, cache, layer, layer_idx):
+        layer = dict(layer)
+        layer["__stacked__"] = stacked
+        return _layer_step(
+            cfg, eng, x_carry, layer, layer_idx, cache, positions,
+            q_start, kv_len, model_axis=model_axis, kv_hi=kv_hi)
+
+    if write_gate is None:
+        def body(carry, xs):
+            x_carry, cache = carry
+            layer, layer_idx = xs
+            x_out, cache = step(x_carry, cache, layer, layer_idx)
+            return (x_out, cache), None
+    else:
+        def body(carry, xs):
+            x_carry, cache = carry
+            layer, layer_idx = xs
+            x_out, cache = jax.lax.cond(
+                write_gate,
+                lambda xc, c: step(xc, c, layer, layer_idx),
+                lambda xc, c: (xc, c),
+                x_carry, cache)
+            return (x_out, cache), None
+
+    (x, cache), _ = jax.lax.scan(
+        body, (x, cache),
+        (xs_layers, jnp.arange(num_layers, dtype=jnp.int32)))
+    return x, cache
+
+
 def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
                     cache: kvc.KVCache, q_start, kv_len, model_axis=None,
                     kv_hi=None):
@@ -136,40 +189,16 @@ def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
     token_ids: [B, T] int32 (prefill: padded prompt chunk; decode: T=1)
     q_start:   [B] write/attend offset (history length per slot)
     kv_len:    [B] total valid kv after this call (q_start + actual new)
-
-    The layer loop is one ``lax.scan`` over stacked layer weights; the
-    cache rides the carry (whole, never sliced per layer) so its buffers
-    stay in place under donation.
     """
     B, T = token_ids.shape
-    L = cfg.num_layers
     positions = q_start[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
 
     x = embedding_lookup(params["embed"], token_ids, kernels=eng.kernels)
     x = x.astype(cfg.dtype)
 
-    # quantized stacked weights never enter the scan xs (the per-layer
-    # slice would force multi-GB relayout copies); they are closed over
-    # whole and indexed inside the matmul kernels by layer
-    from llm_inference_engine_tpu.ops.quant import QuantizedTensor
-    xs_layers = {k: v for k, v in params["layers"].items()
-                 if not isinstance(v, QuantizedTensor)}
-    stacked = {k: v for k, v in params["layers"].items()
-               if isinstance(v, QuantizedTensor)}
-
-    def body(carry, xs):
-        x_carry, cache = carry
-        layer, layer_idx = xs
-        layer = dict(layer)
-        layer["__stacked__"] = stacked
-        x_out, cache = _layer_step(
-            cfg, eng, x_carry, layer, layer_idx, cache, positions,
-            q_start, kv_len, model_axis=model_axis, kv_hi=kv_hi)
-        return (x_out, cache), None
-
-    (x, cache), _ = jax.lax.scan(
-        body, (x, cache),
-        (xs_layers, jnp.arange(L, dtype=jnp.int32)))
+    x, cache = run_layers(cfg, eng, params["layers"], x, cache, positions,
+                          q_start, kv_len, model_axis=model_axis,
+                          kv_hi=kv_hi)
     new_cache = dataclasses.replace(cache, lengths=kv_len)
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps, kernels=eng.kernels)
