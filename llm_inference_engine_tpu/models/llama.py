@@ -211,6 +211,18 @@ def lm_head_logits(cfg: ModelConfig, eng: EngineConfig, params, hidden_last):
                   kernels=eng.kernels)
 
 
+def forward_all_logits(cfg: ModelConfig, eng: EngineConfig, params,
+                       token_ids, cache, q_start, kv_len, kv_hi=None):
+    """decoder_forward + lm head on EVERY position -> (logits [B, T, V],
+    cache). The verify step of speculative decoding and the perplexity
+    scorer both need per-position logits (the reference's lm head only
+    ever saw the final token, llama.cpp:264-269)."""
+    hidden, cache = decoder_forward(cfg, eng, params, token_ids, cache,
+                                    q_start, kv_len, kv_hi=kv_hi)
+    logits = lm_head_logits(cfg, eng, params, hidden)
+    return logits, cache
+
+
 def forward_hidden(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
                    cache, q_start, kv_len, kv_hi=None):
     """decoder_forward + last-valid-token slice -> (logits [B,V], cache).
