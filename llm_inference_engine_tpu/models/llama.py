@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any, NamedTuple
 
 import jax
@@ -92,6 +93,23 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         qkv, positions, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
         cfg.rope_theta, cfg.rope_scaling, kernels=kernels)
 
+    # Tile-padded cache adapter (ops/kv_cache.aligned_kv_dims): when the
+    # cache was allocated with K/D rounded up to the (8, 128) tile, zero-pad
+    # the new tokens and queries to match. Zero D-columns leave q·k dots
+    # exact; padded kv heads compute garbage that is sliced away below.
+    K, D = k_new.shape[2], k_new.shape[3]
+    Kc, Dc = cache.num_kv_heads, cache.k.shape[-1]
+    padded = (Kc, Dc) != (K, D)
+    sm_scale = 1.0 / math.sqrt(D)  # real head_dim even under padding
+    if padded:
+        G = q.shape[2] // K
+        q = jnp.pad(q.reshape(B, T, K, G, D),
+                    ((0, 0), (0, 0), (0, Kc - K), (0, 0), (0, Dc - D))
+                    ).reshape(B, T, Kc * G, Dc)
+        pad4 = ((0, 0), (0, 0), (0, Kc - K), (0, Dc - D))
+        k_new = jnp.pad(k_new, pad4)
+        v_new = jnp.pad(v_new, pad4)
+
     from llm_inference_engine_tpu.ops.attention import (
         attention_decode_fused, can_fuse_decode)
     if model_axis is None and can_fuse_decode(q.shape, cache, kernels):
@@ -99,7 +117,7 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         # attends history + current; saves a Pallas invocation per layer
         attn_out, ck, cv = attention_decode_fused(
             q, k_new, v_new, cache.k, cache.v, q_start, kv_len,
-            layer_idx, block_kv=eng.block_kv, kv_hi=kv_hi)
+            layer_idx, sm_scale=sm_scale, block_kv=eng.block_kv, kv_hi=kv_hi)
         cache = dataclasses.replace(cache, k=ck, v=cv)
     else:
         # write before attend (decoder_self_attention.cu:126,172 semantics)
@@ -107,11 +125,14 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
                                           q_start, new_len=kv_len - q_start,
                                           kernels=kernels)
         attn_out = attention(q, cache.k, cache.v, q_start, kv_len,
-                             causal=True, block_q=eng.block_q,
+                             causal=True, sm_scale=sm_scale,
+                             block_q=eng.block_q,
                              block_kv=eng.block_kv, kernels=kernels,
                              k_scale=cache.k_scale, v_scale=cache.v_scale,
                              layer=layer_idx, kv_hi=kv_hi,
                              embedded_kv=cache.embedded_scales)
+    if padded:
+        attn_out = attn_out.reshape(B, T, Kc, G, Dc)[:, :, :K, :, :D]
     attn_out = attn_out.reshape(B, T, cfg.q_size)
     attn_out = reduce_partial(lin("wo", attn_out))
 

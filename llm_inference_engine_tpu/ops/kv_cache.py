@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from llm_inference_engine_tpu.utils import pallas_interpret, use_pallas
 
 __all__ = ["KVCache", "new_kv_cache", "update_layer_cache",
-           "update_cache_at_layer"]
+           "update_cache_at_layer", "aligned_kv_dims"]
 
 
 @jax.tree_util.register_dataclass
@@ -111,10 +111,32 @@ def embedded_supported(num_kv_heads: int, head_dim: int) -> bool:
             and head_dim % 128 == 0)
 
 
+def aligned_kv_dims(num_kv_heads: int, head_dim: int) -> tuple[int, int]:
+    """(K, D) rounded up to the (8, 128) tile so per-token cache DMA slices
+    and attention kv blocks are Mosaic-legal. Production Llama shapes
+    (D=128, K a multiple of 8) are already aligned; small-head models
+    (TinyLlama: K=4, D=64) pad — trading cache bytes for keeping the
+    aliased-DMA write + Pallas attention fast path (the XLA
+    dynamic_update_slice fallback costs a whole-cache copy per layer
+    next to the attention custom call)."""
+    from llm_inference_engine_tpu.utils import round_up
+    return round_up(num_kv_heads, 8), round_up(head_dim, 128)
+
+
 def new_kv_cache(num_layers: int, batch_size: int, num_kv_heads: int,
                  max_seq_len: int, head_dim: int, dtype=jnp.bfloat16,
                  quantized: bool = False,
-                 embedded: Optional[bool] = None) -> KVCache:
+                 embedded: Optional[bool] = None,
+                 pad_to_tiles: Optional[bool] = None) -> KVCache:
+    """``pad_to_tiles`` (default: on when compiled Pallas kernels run) pads
+    K/D up to the (8, 128) tile; the model layer zero-pads its new-token
+    writes and queries to match and slices the attention output back
+    (models/llama.py), so padded and unpadded caches are numerically
+    identical."""
+    if pad_to_tiles is None:
+        pad_to_tiles = use_pallas("auto") and not pallas_interpret()
+    if pad_to_tiles:
+        num_kv_heads, head_dim = aligned_kv_dims(num_kv_heads, head_dim)
     lengths = jnp.zeros((batch_size,), jnp.int32)
     if quantized:
         if embedded is None:

@@ -78,9 +78,11 @@ class InferenceEngine:
             config.num_kv_heads, engine_config.max_seq_len, config.head_dim,
             dtype=config.dtype,
             quantized=engine_config.kv_cache_dtype == jnp.int8,
-            # embedded scale rows are single-device only (sharding the
-            # padded head axis would split the scale row off its heads)
-            embedded=False if (mesh is not None) else None)
+            # embedded scale rows and tile padding are single-device only
+            # (sharding the padded head axis would split pad rows / the
+            # scale row across devices)
+            embedded=False if (mesh is not None) else None,
+            pad_to_tiles=False if (mesh is not None) else None)
 
         if mesh is not None:
             from llm_inference_engine_tpu.parallel import sharding
