@@ -12,15 +12,25 @@ Schemes:
   y = (x @ q) * s — the kernel streams int8 weights HBM->VMEM (half the
   bytes of bf16), casts in VMEM, feeds the MXU, and applies the scale once
   per output tile.
-- INT4: two 4-bit values packed per int8 byte along the contraction axis,
-  with grouped scales s: [in/group, out] f32. The kernel's K-block equals
-  the group size, so each grid step unpacks one group (sign-extend via
-  arithmetic shifts on the VPU), dots it, scales the partial product, and
-  accumulates in f32 scratch.
+- INT4: two 4-bit values packed per int8 byte along the contraction axis
+  (sublane-interleaved: byte r carries row 2r in the low nibble and row
+  2r+1 in the high — exactly the bit layout ``pltpu.bitcast(..., int4)``
+  unpacks), with grouped scales s: [in/group, out] f32. The kernel
+  bitcasts the packed block to an int4 view (zero VPU cost — Mosaic feeds
+  sub-byte operands to the MXU natively) and runs one dot per scale group,
+  applying the group's scales to the [bm, bn] partial product. Touching
+  the weights on the VPU at all (the previous shift-unpack + scale
+  multiply) forced their materialization and capped the kernel at ~410
+  GB/s effective; the bitcast + partial-scale form reaches the same
+  ~560 GB/s as a scale-free int4 matmul (benchmarks/bench_int4_variants).
 
 The matmul grid is (M/bm, N/bn, K/bk) with K innermost and an f32 VMEM
-accumulator — XLA-style blocking, hand-held only where XLA has no native
-int4-grouped-dequant fusion.
+accumulator. ``bk`` is always a DIVISOR of the contraction dim (_pick_bk):
+a non-dividing block made the last K step read past the x/w arrays, and
+Pallas TPU leaves out-of-bounds block regions unspecified — on real
+hardware that garbage entered the accumulator (Llama's 11008 FFN dim with
+bk=1024 produced ~16% error; interpret mode zero-fills, which is why CPU
+tests never saw it).
 """
 
 from __future__ import annotations
@@ -75,57 +85,30 @@ class QuantizedTensor:
         return self.q.size * self.q.dtype.itemsize + self.scale.size * 4
 
 
-def _pack_int4(qvals: jax.Array, group_size: int) -> jax.Array:
+def _pack_int4(qvals: jax.Array, group_size: int = 0) -> jax.Array:
     """[in, out] int8 in [-8, 7] -> [in//2, out] packed.
 
-    Packing is *concat-friendly*: within each scale group of ``group_size``
-    rows, the low nibbles hold rows [0, gs/2) and the high nibbles rows
-    [gs/2, gs). In-kernel unpacking is then two sign-extending shifts and a
-    sublane concat — no row interleave (Mosaic has no cheap interleave or
-    i8 vector shifts; everything is done in i32)."""
+    Sublane-interleaved: byte r = (row 2r & 0xF) | (row 2r+1 << 4). This is
+    the exact bit layout a TPU int4 array uses across sublanes, so the
+    matmul kernel unpacks with a single ``pltpu.bitcast(..., jnp.int4)`` —
+    hardware sub-byte handling, no VPU shift arithmetic. ``group_size`` is
+    accepted for API symmetry but the packing is group-agnostic."""
+    del group_size
     k, n = qvals.shape
-    half = group_size // 2
-    qg = qvals.reshape(k // group_size, group_size, n)
-    lo = qg[:, :half].astype(jnp.uint8) & 0xF
-    hi = (qg[:, half:].astype(jnp.uint8) & 0xF) << 4
-    return (lo | hi).astype(jnp.int8).reshape(k // 2, n)
+    lo = qvals[0::2].astype(jnp.uint8) & 0xF
+    hi = (qvals[1::2].astype(jnp.uint8) & 0xF) << 4
+    return (lo | hi).astype(jnp.int8)
 
 
-def _unpack_int4_block(packed_block: jax.Array, dtype) -> jax.Array:
-    """One group's packed block [gs/2, n] -> [gs, n] in ``dtype``
-    (Mosaic-safe: i32 shifts + axis-0 concat)."""
-    b = packed_block.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)     # sign-extend low nibble
-    hi = jnp.right_shift(b, 4)                          # high nibble (already signed)
-    return jnp.concatenate([lo, hi], axis=0).astype(dtype)
-
-
-def _unpack_scale_int4_block(packed_block, scale_rows, group_size, dtype):
-    """Multi-group packed block [Gb*gs/2, n] + scales [Gb, n] ->
-    dequantized [Gb*gs, n] weights in ``dtype``. Per-group nibble layout as
-    in _pack_int4; the per-group scale is applied to the unpacked weights
-    in VMEM so one big MXU dot covers all Gb groups (one dot per group made
-    the int4 path grid-step-bound at ~28% of the HBM roofline)."""
-    half = group_size // 2
-    rows2, n = packed_block.shape
-    gb = rows2 // half
-    b = packed_block.reshape(gb, half, n).astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
-    hi = jnp.right_shift(b, 4)
-    w = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [Gb, gs, n]
-    w = w * scale_rows[:, None, :]
-    return w.reshape(gb * group_size, n).astype(dtype)
-
-
-def _unpack_int4(packed: jax.Array, group_size: int) -> jax.Array:
-    """[in//2, out] packed -> [in, out] int8 (host/golden path)."""
+def _unpack_int4(packed: jax.Array, group_size: int = 0) -> jax.Array:
+    """[in//2, out] packed -> [in, out] int8 (host/golden path); inverse of
+    the sublane interleave in _pack_int4."""
+    del group_size
     k2, n = packed.shape
-    half = group_size // 2
-    pg = packed.reshape(k2 // half, half, n)
-    b = pg.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
-    hi = jnp.right_shift(b, 4)
-    out = jnp.concatenate([lo, hi], axis=1)             # [G, gs, n]
+    b = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)     # sign-extend low nibble
+    hi = jnp.right_shift(b, 4)                          # high nibble (signed)
+    out = jnp.stack([lo, hi], axis=1)                   # [k2, 2, n]
     return out.reshape(k2 * 2, n).astype(jnp.int8)
 
 
@@ -205,7 +188,8 @@ def _block2d(ref):
     return w.reshape(w.shape[-2], w.shape[-1])
 
 
-def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
+def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks,
+                        block_k, k_valid):
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -213,6 +197,13 @@ def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]
+    if k_valid % block_k:
+        # ragged K: the last block's x/w tails are out-of-bounds block
+        # reads (unspecified values on hardware — NOT zeros; this produced
+        # ~16% error on Llama's 11008 FFN dim before masking). Zeroing the
+        # x tail kills the garbage products; int8 w garbage cannot NaN.
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + ik * block_k
+        x = jnp.where(col < k_valid, x, 0)
     w = _block2d(q_ref).astype(x.dtype)            # int8 -> compute dtype in VMEM
     acc_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -225,6 +216,10 @@ def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks):
 
 def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks,
                         group_size):
+    """Bitcast the packed block to an int4 view (free — Mosaic feeds
+    sub-byte operands to the MXU natively; see module docstring) and run
+    one mixed bf16×int4 dot per scale group, scaling the [bm, bn] partial.
+    The weights are never touched by the VPU."""
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -233,11 +228,18 @@ def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks,
 
     x = x_ref[:]                                    # [bm, bk]
     qb = _block2d(q_ref)                            # [bk/2, bn] packed
+    w = pltpu.bitcast(qb, jnp.int4)                 # [bk, bn] int4 view
     sb = s_ref[...]                                 # [.., Gb(, 1), bn]
     sb = sb.reshape(-1, sb.shape[-1])               # [Gb, bn]
-    w = _unpack_scale_int4_block(qb, sb, group_size, x.dtype)  # [bk, bn]
-    acc_ref[:] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    gb = w.shape[0] // group_size
+    acc = acc_ref[:]
+    for g in range(gb):
+        p = jax.lax.dot_general(
+            x[:, g * group_size:(g + 1) * group_size],
+            w[g * group_size:(g + 1) * group_size, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc = acc + p * sb[g][None, :]
+    acc_ref[:] = acc
 
     @pl.when(ik == num_k_blocks - 1)
     def _fin():
@@ -319,7 +321,8 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
         extra = ()
 
     if mode == "int8":
-        kern = functools.partial(_int8_matmul_kernel, num_k_blocks=nk)
+        kern = functools.partial(_int8_matmul_kernel, num_k_blocks=nk,
+                                 block_k=bk, k_valid=k)
     else:
         kern = functools.partial(_int4_matmul_kernel, num_k_blocks=nk,
                                  group_size=group_size)
@@ -354,6 +357,57 @@ def _tile_ok(block, full, lane=False):
     return block == full or block % (128 if lane else 8) == 0
 
 
+def _pick_bk(k_in: int, step: int, target: int = 1024,
+             cap: int = 8192) -> int | None:
+    """K-block size: always a DIVISOR of k_in (non-dividing blocks read
+    past the x/w arrays on the last K step and Pallas leaves those regions
+    unspecified — real-hardware garbage; see module docstring). Picks the
+    largest multiple-of-``step`` divisor <= target, escalating above target
+    (bounded by cap, VMEM) when only tiny divisors exist below it.
+    e.g. k=4096 -> 1024; k=11008 -> 256 or 5504; k=13824 -> 768."""
+    if k_in <= target:
+        return k_in                      # single full-dim block, always legal
+    if step <= 0 or k_in % step:
+        return None
+    pick = None
+    for d in range(step, target + 1, step):
+        if k_in % d == 0:
+            pick = d
+    if pick is None or pick < 512:
+        # only tiny divisors below target: a big block beats many small
+        # grid steps (K=11008: bk=5504 measured 622 GB/s vs 318 at bk=256)
+        for d in range(target + step, cap + 1, step):
+            if k_in % d == 0:
+                return d
+    return pick
+
+
+def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor):
+    """(bm, bn, bk) for the fused matmul grid, or None -> XLA fallback.
+
+    INT8: bk = 1024 regardless of divisibility — the kernel masks the
+    ragged last K block's x tail (cheap; the weights never leave int8
+    until the in-VMEM cast, whose temp bounds bk by scoped VMEM).
+    INT4: bk must be a divisor of k_in aligned to the scale groups
+    (_pick_bk) — per-group scale blocks cannot tolerate a ragged edge,
+    and the bitcast path has no VMEM temp, so huge divisor blocks
+    (K=11008 -> bk=5504) are both legal and fastest."""
+    import math as _math
+    bm = m if m <= 256 else 256
+    bn = n if n <= 1024 else 1024
+    if t.mode == "int4":
+        step = t.group_size * 128 // _math.gcd(t.group_size, 128)  # lcm
+        bk = _pick_bk(k_in, step)
+        feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
+                    and bk is not None and _tile_ok(bk, k_in, lane=True)
+                    and (bk % t.group_size == 0 or bk == k_in))
+    else:
+        bk = min(k_in, 1024)
+        feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
+                    and _tile_ok(bk, k_in, lane=True))
+    return (bm, bn, bk) if feasible else None
+
+
 def quantized_linear(x: jax.Array, t: QuantizedTensor,
                      bias: jax.Array | None = None, out_dtype: Any = None,
                      *, kernels: str = "auto", layer=None) -> jax.Array:
@@ -385,21 +439,10 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
         x2 = x.reshape(-1, k_in)
         m, n = x2.shape[0], t.q.shape[1]
 
-        if t.mode == "int4":
-            bk = min(k_in, max(t.group_size,
-                               (1024 // t.group_size) * t.group_size))
-        else:
-            bk = min(k_in, 1024)
-        bm = m if m <= 256 else 256
-        bn = n if n <= 1024 else 1024
-
-        feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
-                    and _tile_ok(bk, k_in, lane=True)
-                    and (t.mode != "int4" or
-                         (_tile_ok(bk // 2, t.q.shape[0])
-                          and k_in % bk == 0)))
-        if not feasible:  # tiny/debug shapes: XLA path (still fused by XLA)
+        plan = _plan_blocks(m, n, k_in, t)
+        if plan is None:  # tiny/debug shapes: XLA path (still fused by XLA)
             return quantized_linear_xla(x, t, bias, out_dtype)
+        bm, bn, bk = plan
         y = _quantized_matmul_pallas(
             x2, t.q, t.scale.astype(jnp.float32), t.mode, t.group_size,
             jnp.dtype(out_dtype), bm, bn, bk, pallas_interpret())
@@ -438,22 +481,11 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
     m = x2.shape[0]
     n = t.q.shape[-1]
 
-    if t.mode == "int4":
-        bk = min(k_in, max(t.group_size,
-                           (1024 // t.group_size) * t.group_size))
-    else:
-        bk = min(k_in, 1024)
-    bm = m if m <= 256 else 256
-    bn = n if n <= 1024 else 1024
-    qrows = t.q.shape[-2]
-
-    feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
-                and _tile_ok(bk, k_in, lane=True)
-                and (t.mode != "int4" or
-                     (_tile_ok(bk // 2, qrows) and k_in % bk == 0)))
-    if not feasible:
+    plan = _plan_blocks(m, n, k_in, t)
+    if plan is None:
         return quantized_linear(x, t, bias, out_dtype, kernels="xla",
                                 layer=layer)
+    bm, bn, bk = plan
 
     scale = t.scale.astype(jnp.float32)
     if structured:

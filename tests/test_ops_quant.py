@@ -47,6 +47,47 @@ def test_quantized_linear_close_to_full_precision(rng, mode):
     assert rel < (0.02 if mode == "int8" else 0.2), rel
 
 
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+@pytest.mark.parametrize("k", [1280, 1408])
+def test_quantized_linear_ragged_k(rng, mode, k):
+    """Contraction dims that 1024 does not divide (Llama's 11008 FFN dim is
+    the production case). The int8 kernel masks the ragged last K block's x
+    tail; the int4 kernel picks a divisor block (ops/quant._pick_bk) — on
+    real hardware the unmasked/non-divisor form read unspecified
+    out-of-bounds block data (~16% error at 7B)."""
+    n, m = 256, 8
+    w = (rng.normal(size=(k, n)) * 0.02).astype(np.float32)
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    t = quantize_tensor(jnp.asarray(w), mode, 128)
+    got = np.asarray(quantized_linear(jnp.asarray(x), t, kernels="pallas"))
+    want = np.asarray(quantized_linear_xla(jnp.asarray(x), t))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_pick_bk_divisor_plan():
+    from llm_inference_engine_tpu.ops.quant import _pick_bk
+    assert _pick_bk(4096, 128) == 1024
+    assert _pick_bk(11008, 128) == 5504     # only tiny divisors <= 1024
+    assert _pick_bk(13824, 128) == 768      # 13B FFN dim
+    assert _pick_bk(5632, 128) == 512       # TinyLlama FFN dim
+    assert _pick_bk(512, 128) == 512        # k <= target: one full block
+    for k, bk in ((4096, 1024), (11008, 5504), (13824, 768), (5632, 512)):
+        assert k % bk == 0
+
+
+def test_int4_pack_is_sublane_interleaved(rng):
+    """Byte r must hold row 2r in the low nibble and row 2r+1 in the high —
+    the exact layout pltpu.bitcast(..., int4) unpacks (hardware sub-byte
+    cast; any other layout silently permutes the weight rows)."""
+    from llm_inference_engine_tpu.ops.quant import _pack_int4, _unpack_int4
+    q = rng.integers(-8, 8, size=(16, 4)).astype(np.int8)
+    packed = np.asarray(_pack_int4(jnp.asarray(q)))
+    assert packed.shape == (8, 4)
+    assert (packed[0] & 0xF == (q[0] & 0xF)).all()          # row 0 -> low
+    assert ((packed[0] >> 4) & 0xF == (q[1] & 0xF)).all()   # row 1 -> high
+    np.testing.assert_array_equal(np.asarray(_unpack_int4(jnp.asarray(packed))), q)
+
+
 def test_quantized_tensor_is_pytree():
     """Scan/tree_map must preserve static fields when slicing stacked
     quantized layers (models/weights.py stacks on a leading L axis)."""
