@@ -111,13 +111,21 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         v_new = jnp.pad(v_new, pad4)
 
     from llm_inference_engine_tpu.ops.attention import (
-        attention_decode_fused, can_fuse_decode)
-    if model_axis is None and can_fuse_decode(q.shape, cache, kernels):
-        # fused decode: one kernel writes the token's K/V (aliased DMA) and
-        # attends history + current; saves a Pallas invocation per layer
-        attn_out, ck, cv = attention_decode_fused(
-            q, k_new, v_new, cache.k, cache.v, q_start, kv_len,
-            layer_idx, sm_scale=sm_scale, block_kv=eng.block_kv, kv_hi=kv_hi)
+        attention_decode_fused_mxu, can_fuse_decode_mxu)
+    if model_axis is None and can_fuse_decode_mxu(q.shape, cache, kernels):
+        # fused MXU decode: one kernel writes the token's K/V (aliased DMA)
+        # and attends history + current via the block-diagonal MXU path —
+        # saves a Pallas invocation per layer and never touches the kv
+        # stream with the VPU (bf16 and embedded-int8 caches, any GQA)
+        if cache.embedded_scales:
+            kn = kvc.quantize_kv_embedded(k_new)
+            vn = kvc.quantize_kv_embedded(v_new)
+        else:
+            kn, vn = k_new, v_new
+        attn_out, ck, cv = attention_decode_fused_mxu(
+            q, kn, vn, cache.k, cache.v, q_start, kv_len, layer_idx,
+            sm_scale=sm_scale, block_kv=eng.block_kv, kv_hi=kv_hi,
+            embedded=cache.embedded_scales)
         cache = dataclasses.replace(cache, k=ck, v=cv)
     else:
         # write before attend (decoder_self_attention.cu:126,172 semantics)

@@ -169,18 +169,24 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     def _compute():
         k = k_ref[kv0]                                # [bk, K(+pad), D]
         v = v_ref[kv0]
+        # INT8-KV dequantization: the per-(token, head) scales are NOT
+        # applied to the k/v elements (bk*K*D multiplies — measured as the
+        # dominant VPU cost of the quantized-cache decode). Because the
+        # scale is constant along D it factors out of both dots: it lands
+        # on the scores (k side) and on the softmax weights (v side) —
+        # bk*K multiplies each, 1/D the work. k/v only pay the int8 cast.
         if embedded:
             # int8 values + in-row log2 scale codes (kv_cache.py)
             Kr = k.shape[1] - EMBED_PAD
-            kssc = decode_embedded_scales(k[:, Kr, :], Kr)     # [bk, K]
-            vssc = decode_embedded_scales(v[:, Kr, :], Kr)
-            k = k[:, :Kr].astype(jnp.float32) * kssc[..., None]
-            v = v[:, :Kr].astype(jnp.float32) * vssc[..., None]
+            ks_arr = decode_embedded_scales(k[:, Kr, :], Kr)   # [bk, K]
+            vs_arr = decode_embedded_scales(v[:, Kr, :], Kr)
+            k = k[:, :Kr]
+            v = v[:, :Kr]
+        elif ks_ref is not None:
+            ks_arr = ks_ref[kv0]                      # [bk, K]
+            vs_arr = vs_ref[kv0]
         else:
-            if ks_ref is not None:                    # int8 dequant in VMEM
-                k = k.astype(jnp.float32) * ks_ref[kv0][..., None]
-            if vs_ref is not None:
-                v = v.astype(jnp.float32) * vs_ref[kv0][..., None]
+            ks_arr = vs_arr = None
 
         if decode:
             # Decode is a matvec: one q row per kv head against the kv
@@ -197,6 +203,8 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             m_prev = m_ref[:]                         # [K, 1]
             l_prev = l_ref[:]
             s = jnp.sum(kf * q[None, :, :], axis=2) * sm_scale
+            if ks_arr is not None:
+                s = s * ks_arr                        # k dequant on scores
             s = jnp.where(mask1, s, _NEG_INF)                 # [bk, K]
             m_curr = jnp.max(s, axis=0)[:, None]              # [K, 1]
             m_new = jnp.maximum(m_prev, m_curr)
@@ -204,13 +212,16 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             p = jnp.exp(s - m_new.reshape(-1)[None, :])
             p = jnp.where(mask1, p, 0.0)                      # [bk, K]
             l_ref[:] = alpha * l_prev + jnp.sum(p, axis=0)[:, None]
+            if vs_arr is not None:
+                p = p * vs_arr                        # v dequant on weights
             pv = jnp.sum(vf * p[:, :, None], axis=0)          # [K, D]
             acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv[:, None, :]
             m_ref[:] = m_new
             return
 
         # Prefill: MXU path. Dots run on the storage dtype (bf16 MXU
-        # passes, f32 accumulate); the transpose amortizes over bq rows.
+        # passes, f32 accumulate; int8 kv casts to bf16 — values <= 127
+        # are exact); the transpose amortizes over bq rows.
         q = q_ref[0]                                  # [K, bq, D]
         k = jnp.swapaxes(k.astype(q.dtype), 0, 1)     # [K, bk, D] (Mosaic
         # requires batch dims at equal operand positions)
@@ -218,6 +229,8 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * sm_scale
+        if ks_arr is not None:                        # [bk, K] -> [K, 1, bk]
+            s = s * jnp.swapaxes(ks_arr, 0, 1)[:, None, :]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + iq * block_q
         q_pos = q_start + rows // group
@@ -235,6 +248,8 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         p = jnp.exp(s - m_new[:, :, None])
         p = jnp.where(mask, p, 0.0)
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=2)
+        if vs_arr is not None:
+            p = p * jnp.swapaxes(vs_arr, 0, 1)[:, None, :]
 
         v = jnp.swapaxes(v.astype(q.dtype), 0, 1)     # [K, bk, D]
         pv = jax.lax.dot_general(
@@ -251,39 +266,273 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
 
 # ---------------------------------------------------------------------------
-# Fused decode: write the new token's K/V into the cache AND attend, in one
-# kernel. Separate write+attend kernels pay one extra Pallas invocation per
-# layer per step; fusing also removes the write-before-read ordering (the
-# current token is attended straight from VMEM, the cache-side mask covers
-# history only, and the DMA lands for the NEXT step's reads).
-# MHA (group == 1), unquantized cache, Sq == 1, stacked [L, ...] cache.
+# MXU block-diagonal decode attention.
+#
+# Decode (Sq == 1) against the token-major cache used to run as a VPU
+# matvec: cast every cached k/v element, multiply by q, lane/sublane
+# reduce. The VPU touches the whole kv stream, so its op count is the
+# same for int8 and bf16 caches — which made the int8 cache SLOWER than
+# bf16 (DMA halves, VPU binds). This kernel instead feeds the kv stream
+# to the MXU in its native layout:
+#
+#   - a [bk, K, D] kv block is viewed as [bk, K*D] (free reshape — the
+#     trailing dims are contiguous);
+#   - q is expanded once per sequence into a block-diagonal [K*D, H]
+#     matrix (qd[k*D+d, h] = q[h, d] iff h//G == k), so scores are ONE
+#     dot: s[bk, H] = kv2 @ qd. int8 blocks feed the MXU natively (the
+#     same no-VPU-touch rule as the int4 weight kernel, ops/quant.py);
+#   - softmax weights accumulate v as pv[H, K*D] = p^T @ v2; the
+#     per-head diagonal block is extracted once at finalize.
+#
+# The off-diagonal MXU work is K× the useful FLOPs, but decode attention
+# is bandwidth-bound — MXU cycles are free next to the DMA. Measured at
+# 7B decode shapes (benchmarks/bench_decode_attn.py): VPU bf16 537 GB/s
+# -> MXU bf16 734 GB/s; int8 cache 2.2x faster than the VPU bf16 path.
+# INT8 scales never touch the kv stream either: k-scales fold into the
+# scores, v-scales into the softmax weights (1/D the elements).
+# Handles GQA natively (any G) — one kernel for every decode config.
 # ---------------------------------------------------------------------------
 
-def _decode_fused_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref, vnew_ref,
-                         k_ref, v_ref, o_ref, kout_ref, vout_ref,
-                         m_ref, l_ref, acc_ref, sem, *, sm_scale, block_kv,
-                         num_kv_blocks):
+def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
+                       vs_ref, o_ref, qd_ref, m_ref, l_ref, acc_ref, *,
+                       sm_scale, block_kv, num_kv_blocks, K, group,
+                       embedded):
     b = pl.program_id(0)
-    ikv = pl.program_id(2)
-    l = ly_ref[0]
+    ikv = pl.program_id(1)
     kv_len = kl_ref[b]
-    hist = qs_ref[b]                  # history length; new token at `hist`
-    active = kv_len > hist
+    H = K * group
+    Kst = k_ref.shape[-2]            # K (+EMBED_PAD when embedded)
+    KDst = Kst * k_ref.shape[-1]
+    D = k_ref.shape[-1]
 
     @pl.when(ikv == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        # block-diagonal q: qd[k*D+d, h] = q[h, d] iff h // G == k.
+        # Rows for embedded-scale pad heads stay zero, so the pad rows'
+        # payload (scale codes / garbage) never reaches the scores.
+        q = q_ref[0]                                     # [H, D]
+        qkdh = jnp.broadcast_to(jnp.swapaxes(q, 0, 1)[None, :, :],
+                                (Kst, D, H))             # q[h, d] at (k, d, h)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 0)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 2)
+        qd = jnp.where(hh // group == kk, qkdh, 0)
+        qd_ref[:] = qd.reshape(KDst, H).astype(qd_ref.dtype)
+
+    start = ikv * block_kv
+
+    @pl.when(start < kv_len)
+    def _compute():
+        kblk = k_ref[0, 0] if k_ref.ndim == 5 else k_ref[0]   # [bk, Kst, D]
+        vblk = v_ref[0, 0] if v_ref.ndim == 5 else v_ref[0]
+        k2 = kblk.reshape(block_kv, KDst)        # storage dtype, no VPU touch
+        v2 = vblk.reshape(block_kv, KDst)
+        s = jax.lax.dot_general(
+            k2, qd_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale    # [bk, H]
+
+        if embedded:
+            ks1 = decode_embedded_scales(kblk[:, K, :], K)    # [bk, K]
+            vs1 = decode_embedded_scales(vblk[:, K, :], K)
+        elif ks_ref is not None:
+            ks1 = ks_ref[(0,) * (ks_ref.ndim - 2)]            # [bk, K]
+            vs1 = vs_ref[(0,) * (vs_ref.ndim - 2)]
+        else:
+            ks1 = vs1 = None
+
+        def expand_heads(sc):                    # [bk, K] -> [bk, H]
+            # lane-dim group expansion: a broadcast+reshape merging (K, G)
+            # lanes is an unsupported Mosaic relayout — use a one-hot
+            # matmul instead (tiny [bk, K] @ [K, H] dot)
+            if group == 1:
+                return sc
+            ek = jax.lax.broadcasted_iota(jnp.int32, (K, H), 0)
+            eh = jax.lax.broadcasted_iota(jnp.int32, (K, H), 1)
+            one_hot = (eh // group == ek).astype(jnp.float32)
+            return jax.lax.dot_general(
+                sc, one_hot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if ks1 is not None:
+            s = s * expand_heads(ks1)            # k dequant on scores
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + start)
+        mask = cols < kv_len
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev, l_prev = m_ref[:], l_ref[:]      # [H, 1]
+        m_curr = jnp.max(s, axis=0)[:, None]
+        m_new = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new.reshape(-1)[None, :])
+        p = jnp.where(mask, p, 0.0)              # [bk, H]
+        l_ref[:] = alpha * l_prev + jnp.sum(p, axis=0)[:, None]
+        if vs1 is not None:
+            p = p * expand_heads(vs1)            # v dequant on weights
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [H, KDst]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        acc = acc_ref[:] / l                     # [H, KDst]
+        # diagonal block extract: out[h, d] = acc[h, (h//G)*D + d]
+        a3 = acc.reshape(H, Kst, D)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 1)
+        out = jnp.sum(jnp.where(hh // group == kk, a3, 0.0), axis=1)  # [H, D]
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_kv", "interpret", "kv_hi",
+                     "embedded"))
+def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
+                          block_kv, interpret, k_scale=None, v_scale=None,
+                          layer=None, kv_hi=None, embedded=False):
+    """q: [B, 1, H, D]; caches [(L,) B, S, Kst, D]. Attend-only (the cache
+    must already hold the current token). Returns [B, 1, H, D]."""
+    B, _, H, D = q.shape
+    layered = layer is not None
+    Skv = k_cache.shape[2] if layered else k_cache.shape[1]
+    Kst = k_cache.shape[-2]
+    K = Kst - EMBED_PAD if embedded else Kst
+    G = H // K
+
+    if kv_hi is not None:
+        Skv = min(Skv, max(block_kv, round_up(kv_hi, block_kv)))
+    bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
+    nkv = cdiv(Skv, bk)
+    qr = q.reshape(B, H, D)
+
+    prefetch = [q_start.astype(jnp.int32), kv_len.astype(jnp.int32)]
+
+    def clamp_j(j, kl_ref, b):
+        last = jnp.maximum((kl_ref[b] + bk - 1) // bk - 1, 0)
+        return jnp.minimum(j, last)
+
+    if layered:
+        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+        np_ = 3
+        kv_ix = lambda b, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
+        sc_ix = lambda b, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0)
+        kv_blk = (1, 1, bk, Kst, D)
+        sc_blk = (1, 1, bk, K)
+        q_ix = lambda b, j, qs, kl, ly: (b, 0, 0)
+    else:
+        np_ = 2
+        kv_ix = lambda b, j, qs, kl: (b, clamp_j(j, kl, b), 0, 0)
+        sc_ix = lambda b, j, qs, kl: (b, clamp_j(j, kl, b), 0)
+        kv_blk = (1, bk, Kst, D)
+        sc_blk = (1, bk, K)
+        q_ix = lambda b, j, qs, kl: (b, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, H, D), q_ix),
+        pl.BlockSpec(kv_blk, kv_ix),
+        pl.BlockSpec(kv_blk, kv_ix),
+    ]
+    inputs = prefetch + [qr, k_cache, v_cache]
+    quant = k_scale is not None
+    if quant:
+        in_specs += [pl.BlockSpec(sc_blk, sc_ix), pl.BlockSpec(sc_blk, sc_ix)]
+        inputs += [k_scale, v_scale]
+
+    KDst = Kst * D
+    kern_base = functools.partial(
+        _decode_mxu_kernel, sm_scale=sm_scale, block_kv=bk,
+        num_kv_blocks=nkv, K=K, group=G, embedded=embedded)
+    if quant:
+        kern = (lambda qs, kl, ly, qq, k, v, ks, vs, o, qd, m, l, acc:
+                kern_base(qs, kl, ly, qq, k, v, ks, vs, o, qd, m, l, acc)) \
+            if layered else \
+               (lambda qs, kl, qq, k, v, ks, vs, o, qd, m, l, acc:
+                kern_base(qs, kl, None, qq, k, v, ks, vs, o, qd, m, l, acc))
+    else:
+        kern = (lambda qs, kl, ly, qq, k, v, o, qd, m, l, acc:
+                kern_base(qs, kl, ly, qq, k, v, None, None, o, qd, m, l, acc)) \
+            if layered else \
+               (lambda qs, kl, qq, k, v, o, qd, m, l, acc:
+                kern_base(qs, kl, None, qq, k, v, None, None, o, qd, m, l,
+                          acc))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=np_,
+        grid=(B, nkv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, H, D), q_ix),
+        scratch_shapes=[
+            pltpu.VMEM((KDst, H), jnp.bfloat16),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, KDst), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(B, 1, H, D)
+
+
+def can_decode_mxu(q_shape, Kst: int, D: int) -> bool:
+    """MXU decode path shape gate: one token, tile-aligned head dims (the
+    padded cache guarantees this for production models)."""
+    B, T, H, _ = q_shape
+    return T == 1 and D % 128 == 0 and H % 8 == 0 and Kst % 8 == 0
+
+
+def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
+                             vnew_ref, k_ref, v_ref, o_ref, kout_ref,
+                             vout_ref, qd_ref, m_ref, l_ref, acc_ref, sem, *,
+                             sm_scale, block_kv, num_kv_blocks, K, group,
+                             embedded):
+    """MXU block-diagonal decode + in-kernel cache write (aliased DMA).
+
+    Same compute as _decode_mxu_kernel over the history blocks; the new
+    token's K/V arrive in storage form (bf16, or int8 rows with embedded
+    scale codes already packed by quantize_kv_embedded), are DMA'd into
+    the cache for FUTURE steps, and are attended straight from VMEM —
+    the cache-side mask covers history only, so the write/read order
+    never matters within the step."""
+    b = pl.program_id(0)
+    ikv = pl.program_id(1)
+    ly = ly_ref[0]
+    hist = qs_ref[b]                  # history length; new token at `hist`
+    kv_len = kl_ref[b]
+    active = kv_len > hist
+    H = K * group
+    Kst = knew_ref.shape[-2]
+    D = knew_ref.shape[-1]
+    KDst = Kst * D
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[0]                                     # [H, D]
+        qkdh = jnp.broadcast_to(jnp.swapaxes(q, 0, 1)[None, :, :],
+                                (Kst, D, H))
+        kk = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 0)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 2)
+        qd_ref[:] = jnp.where(hh // group == kk, qkdh, 0).reshape(
+            KDst, H).astype(qd_ref.dtype)
 
     @pl.when(jnp.logical_and(ikv == 0, active))
     def _start_write():
-        pos = hist
         pltpu.make_async_copy(
-            knew_ref.at[0], kout_ref.at[l, b, pl.ds(pos, 1), :, :],
+            knew_ref.at[0], kout_ref.at[ly, b, pl.ds(hist, 1), :, :],
             sem.at[0]).start()
         pltpu.make_async_copy(
-            vnew_ref.at[0], vout_ref.at[l, b, pl.ds(pos, 1), :, :],
+            vnew_ref.at[0], vout_ref.at[ly, b, pl.ds(hist, 1), :, :],
             sem.at[1]).start()
 
     start = ikv * block_kv
@@ -291,105 +540,146 @@ def _decode_fused_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref, vnew_ref,
 
     @pl.when(start < hist_lim)
     def _compute():
-        q = q_ref[0].reshape(-1, q_ref.shape[-1]).astype(jnp.float32)
-        kf = k_ref[(0, 0)].astype(jnp.float32)        # [bk, K, D]
-        vf = v_ref[(0, 0)].astype(jnp.float32)
-        cols1 = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
-                 + start)
-        mask1 = cols1 < hist_lim
-        m_prev = m_ref[:]
-        l_prev = l_ref[:]
-        s = jnp.sum(kf * q[None, :, :], axis=2) * sm_scale
-        s = jnp.where(mask1, s, _NEG_INF)
+        k2 = k_ref[0, 0].reshape(block_kv, KDst)
+        v2 = v_ref[0, 0].reshape(block_kv, KDst)
+        s = jax.lax.dot_general(
+            k2, qd_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale    # [bk, H]
+        if embedded:
+            ks1 = decode_embedded_scales(k_ref[0, 0][:, K, :], K)  # [bk, K]
+            vs1 = decode_embedded_scales(v_ref[0, 0][:, K, :], K)
+            if group > 1:
+                # one-hot matmul group expansion (see _decode_mxu_kernel:
+                # a lane-merging broadcast+reshape is an unsupported
+                # Mosaic relayout)
+                ek = jax.lax.broadcasted_iota(jnp.int32, (K, H), 0)
+                eh = jax.lax.broadcasted_iota(jnp.int32, (K, H), 1)
+                one_hot = (eh // group == ek).astype(jnp.float32)
+                expand = lambda sc: jax.lax.dot_general(
+                    sc, one_hot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ks1 = expand(ks1)
+                vs1 = expand(vs1)
+            s = s * ks1
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + start)
+        mask = cols < hist_lim
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev, l_prev = m_ref[:], l_ref[:]
         m_curr = jnp.max(s, axis=0)[:, None]
         m_new = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new.reshape(-1)[None, :])
-        p = jnp.where(mask1, p, 0.0)
+        p = jnp.where(mask, p, 0.0)
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=0)[:, None]
-        pv = jnp.sum(vf * p[:, :, None], axis=0)
-        acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv[:, None, :]
+        if embedded:
+            p = p * vs1
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
 
     @pl.when(ikv == num_kv_blocks - 1)
     def _finalize():
         # append the current token from VMEM (never read back from HBM)
-        q = q_ref[0].reshape(-1, q_ref.shape[-1]).astype(jnp.float32)
-        kn = knew_ref[0, 0].astype(jnp.float32)       # [K, D]
-        vn = vnew_ref[0, 0].astype(jnp.float32)
-        s_new = jnp.sum(kn * q, axis=1)[:, None] * sm_scale   # [K, 1]
-        s_new = jnp.where(active, s_new, _NEG_INF)
-        m_prev = m_ref[:]
-        l_prev = l_ref[:]
-        m_new = jnp.maximum(m_prev, s_new)
-        alpha = jnp.exp(m_prev - m_new)
-        p_new = jnp.exp(s_new - m_new)
+        kn = knew_ref[0, 0]                              # [Kst, D] storage
+        vn = vnew_ref[0, 0]
+        if embedded:
+            ksn = decode_embedded_scales(kn[K, :], K)    # [K]
+            vsn = decode_embedded_scales(vn[K, :], K)
+            knv = kn[:K].astype(jnp.float32) * ksn[:, None]
+            vnv = vn[:K].astype(jnp.float32) * vsn[:, None]
+        else:
+            knv = kn[:K].astype(jnp.float32)             # [K, D]
+            vnv = vn[:K].astype(jnp.float32)
+
+        def expand_rows(x):                              # [K, D] -> [H, D]
+            if group == 1:
+                return x
+            return jnp.broadcast_to(x[:, None, :], (K, group, D)).reshape(
+                H, D)
+
+        qf = q_ref[0].astype(jnp.float32)                # [H, D]
+        s_new = jnp.sum(qf * expand_rows(knv), axis=1)[:, None] * sm_scale
+        s_new = jnp.where(active, s_new, _NEG_INF)       # [H, 1]
+        m_prev, l_prev = m_ref[:], l_ref[:]
+        m_f = jnp.maximum(m_prev, s_new)
+        alpha = jnp.exp(m_prev - m_f)
+        p_new = jnp.exp(s_new - m_f)
         p_new = jnp.where(active, p_new, 0.0)
-        lsum = alpha * l_prev + p_new
-        acc = acc_ref[:] * alpha[:, :, None] + p_new[:, :, None] * vn[:, None, :]
-        l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
-        out = acc / l_safe[:, :, None]                # [K, 1, D]
-        o_ref[0] = out.reshape(out.shape[0], out.shape[2]).astype(o_ref.dtype)
+        l_f = alpha * l_prev + p_new
+        acc = acc_ref[:] * alpha                         # [H, KDst]
+        a3 = acc.reshape(H, Kst, D)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 1)
+        accd = jnp.sum(jnp.where(hh // group == kk, a3, 0.0), axis=1)
+        out = (accd + p_new * expand_rows(vnv)) / jnp.where(
+            l_f == 0.0, 1.0, l_f)
+        o_ref[0] = out.astype(o_ref.dtype)
 
         @pl.when(active)
         def _wait_write():
-            pos = hist
             pltpu.make_async_copy(
-                knew_ref.at[0], kout_ref.at[l, b, pl.ds(pos, 1), :, :],
+                knew_ref.at[0], kout_ref.at[ly, b, pl.ds(hist, 1), :, :],
                 sem.at[0]).wait()
             pltpu.make_async_copy(
-                vnew_ref.at[0], vout_ref.at[l, b, pl.ds(pos, 1), :, :],
+                vnew_ref.at[0], vout_ref.at[ly, b, pl.ds(hist, 1), :, :],
                 sem.at[1]).wait()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_kv", "kv_hi"))
-def _attention_decode_fused(q, k_new, v_new, k_cache, v_cache, q_start,
-                            kv_len, layer, sm_scale, block_kv, kv_hi=None):
-    """q: [B, 1, K, D]; k_new/v_new: [B, 1, K, D]; caches [L, B, S, K, D]
-    (bf16). Returns (out [B, 1, K, D], k_cache, v_cache) with the caches
-    updated in place (aliased)."""
+    jax.jit, static_argnames=("sm_scale", "block_kv", "kv_hi", "embedded"))
+def _attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
+                                kv_len, layer, sm_scale, block_kv,
+                                kv_hi=None, embedded=False):
+    """q: [B, 1, H, D]; k_new/v_new in STORAGE form [B, 1, Kst, D] (bf16,
+    or packed int8 with embedded scale rows); caches [L, B, S, Kst, D].
+    Returns (out [B, 1, H, D], k_cache, v_cache) with the caches updated
+    in place (aliased)."""
     B, _, H, D = q.shape
-    L, _, Skv, K, _ = k_cache.shape
+    L, _, Skv, Kst, _ = k_cache.shape
+    K = Kst - EMBED_PAD if embedded else Kst
+    G = H // K
     if kv_hi is not None:
         Skv = min(Skv, max(block_kv, round_up(kv_hi, block_kv)))
     bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
     nkv = cdiv(Skv, bk)
     qr = q.reshape(B, H, D)
-    knr = k_new.astype(k_cache.dtype)     # [B, 1, K, D] (T == 1)
-    vnr = v_new.astype(v_cache.dtype)
 
     def clamp_j(j, kl_ref, b):
         last = jnp.maximum((kl_ref[b] + bk - 1) // bk - 1, 0)
         return jnp.minimum(j, last)
 
-    kv_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
+    kv_ix = lambda b, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    KDst = Kst * D
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, 1, nkv),
+        grid=(B, nkv),
         in_specs=[
-            pl.BlockSpec((1, H, D), lambda b, i, j, *_: (b, 0, 0)),
-            pl.BlockSpec((1, 1, K, D), lambda b, i, j, *_: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, K, D), lambda b, i, j, *_: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, bk, K, D), kv_ix),
-            pl.BlockSpec((1, 1, bk, K, D), kv_ix),
+            pl.BlockSpec((1, H, D), lambda b, j, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Kst, D), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Kst, D), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, bk, Kst, D), kv_ix),
+            pl.BlockSpec((1, 1, bk, Kst, D), kv_ix),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, D), lambda b, i, j, *_: (b, 0, 0)),
+            pl.BlockSpec((1, H, D), lambda b, j, *_: (b, 0, 0)),
             any_spec,
             any_spec,
         ],
         scratch_shapes=[
-            pltpu.VMEM((K, 1), jnp.float32),
-            pltpu.VMEM((K, 1), jnp.float32),
-            pltpu.VMEM((K, 1, D), jnp.float32),
+            pltpu.VMEM((KDst, H), jnp.bfloat16),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, KDst), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kern = functools.partial(_decode_fused_kernel, sm_scale=sm_scale,
-                             block_kv=bk, num_kv_blocks=nkv)
-    # flat operands: qs, kl, ly, q, knew, vnew, k, v -> cache at 6, 7
+    kern = functools.partial(
+        _decode_fused_mxu_kernel, sm_scale=sm_scale, block_kv=bk,
+        num_kv_blocks=nkv, K=K, group=G, embedded=embedded)
+    # flat operands: qs, kl, ly, q, knew, vnew, k, v -> caches at 6, 7
     out, kc, vc = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -399,10 +689,38 @@ def _attention_decode_fused(q, k_new, v_new, k_cache, v_cache, q_start,
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         input_output_aliases={6: 1, 7: 2},
+        interpret=pallas_interpret(),
     )(q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
-      jnp.asarray(layer, jnp.int32).reshape(1), qr, knr, vnr,
+      jnp.asarray(layer, jnp.int32).reshape(1), qr,
+      k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
       k_cache, v_cache)
     return out.reshape(B, 1, H, D), kc, vc
+
+
+def attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
+                               kv_len, layer, *, sm_scale=None,
+                               block_kv: int = 128, kv_hi: int | None = None,
+                               embedded: bool = False):
+    """Fused MXU decode write+attend for the stacked cache (bf16 or
+    embedded-int8 storage; k_new/v_new already in storage form). See
+    _decode_fused_mxu_kernel."""
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    return _attention_decode_fused_mxu(
+        q, k_new, v_new, k_cache, v_cache,
+        q_start.astype(jnp.int32), kv_len.astype(jnp.int32), layer,
+        float(scale), block_kv, kv_hi=kv_hi, embedded=embedded)
+
+
+def can_fuse_decode_mxu(q_shape, cache, kernels: str) -> bool:
+    """Fused MXU decode gate: one new token, stacked cache in bf16 or
+    embedded-int8 form, tile-aligned dims, compiled Pallas."""
+    B, T, H, D = q_shape
+    Kst = cache.k.shape[3]
+    K = Kst - EMBED_PAD if cache.embedded_scales else Kst
+    return (T == 1 and H % K == 0 and H % 8 == 0 and D % 128 == 0
+            and Kst % 8 == 0
+            and (not cache.quantized or cache.embedded_scales)
+            and use_pallas(kernels) and not pallas_interpret())
 
 
 def _mk_kernel(quant, layered, **kw):
@@ -519,35 +837,6 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
         B, Sq, H, D)
 
 
-def attention_decode_fused(q, k_new, v_new, k_cache, v_cache, q_start,
-                           kv_len, layer, *, sm_scale=None,
-                           block_kv: int = 128, kv_hi: int | None = None):
-    """Fused decode step for the stacked bf16 cache, MHA only: writes the
-    new token's K/V into the cache (aliased DMA) and attends
-    history-from-HBM + current-token-from-VMEM in one kernel.
-
-    q/k_new/v_new: [B, 1, H(==K), D]; caches [L, B, S, K, D].
-    q_start = history length per slot; kv_len = q_start + active.
-    Returns (out [B, 1, H, D], k_cache, v_cache).
-    """
-    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
-    return _attention_decode_fused(
-        q, k_new, v_new, k_cache, v_cache,
-        q_start.astype(jnp.int32), kv_len.astype(jnp.int32), layer,
-        float(scale), block_kv, kv_hi=kv_hi)
-
-
-def can_fuse_decode(q_shape, cache, kernels: str) -> bool:
-    """Whether the fused decode write+attend path applies: one new token,
-    MHA, unquantized stacked cache, production-aligned head dims, compiled
-    Pallas available."""
-    B, T, H, D = q_shape
-    K = cache.k.shape[3]
-    return (T == 1 and H == K and not cache.quantized
-            and D % 128 == 0 and K % 8 == 0
-            and use_pallas(kernels) and not pallas_interpret())
-
-
 def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
               sm_scale: float | None = None, block_q: int = 128,
               block_kv: int = 128, kernels: str = "auto", k_scale=None,
@@ -570,6 +859,15 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
                              k_scale=k_scale, v_scale=v_scale, layer=layer,
                              embedded_kv=embedded_kv)
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    if causal and can_decode_mxu(q.shape, k_cache.shape[-2], k_cache.shape[-1]):
+        # Sq == 1: MXU block-diagonal decode (all cache variants, any GQA
+        # group) — the kv stream never touches the VPU
+        return _attention_decode_mxu(
+            q, k_cache, v_cache,
+            q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
+            float(scale), block_kv, pallas_interpret(),
+            k_scale=k_scale, v_scale=v_scale, layer=layer, kv_hi=kv_hi,
+            embedded=embedded_kv)
     return _attention_pallas(
         q, k_cache, v_cache,
         q_start.astype(jnp.int32), kv_len.astype(jnp.int32),

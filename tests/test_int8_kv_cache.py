@@ -120,11 +120,12 @@ def test_attention_embedded_matches_separate_scales(rng):
                     kernels="xla", k_scale=ks, v_scale=vs)
     np.testing.assert_allclose(np.asarray(emb), np.asarray(sep),
                                atol=1e-5, rtol=1e-5)
-    # and pallas interpret path
+    # and pallas interpret path (MXU decode kernel: p/v dots run in bf16,
+    # same precision as the prefill MXU path — tolerance is bf16-level)
     embp = attention(q, packed_k, packed_v, qs, kl, kernels="pallas",
                      embedded_kv=True, block_kv=8)
     np.testing.assert_allclose(np.asarray(embp), np.asarray(emb),
-                               atol=2e-4, rtol=2e-4)
+                               atol=1.5e-2, rtol=1.5e-2)
 
 
 def test_engine_embedded_cache_forward(rng):

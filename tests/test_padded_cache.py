@@ -70,7 +70,11 @@ def test_padded_decode_matches_unpadded(params, rng, kernels):
     lens = [12, 9]
     want = _run(params, ids, lens, pad=False, kernels=kernels, decode_tail=3)
     got = _run(params, ids, lens, pad=True, kernels=kernels, decode_tail=3)
-    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    # padding makes the decode MXU-eligible (D 16 -> 128), so the pallas
+    # comparison crosses kernels and only agrees to bf16-dot precision
+    tol = dict(atol=2e-5, rtol=2e-5) if kernels == "xla" else \
+        dict(atol=2e-3, rtol=2e-2)
+    np.testing.assert_allclose(got, want, **tol)
 
 
 def test_padded_quantized_cache_matches_unpadded(params, rng):
