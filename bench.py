@@ -1,4 +1,4 @@
-"""Benchmark: Llama2-7B INT8 weight-only decode throughput on one TPU chip.
+"""Benchmark: Llama2-7B INT4 weight-only decode throughput on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 MODEL = "llama2-7b"
-QUANT = "int8"
+QUANT = "int4"
 BATCH = 8
 PROMPT_LEN = 128
 MAX_SEQ = 1024

@@ -651,7 +651,7 @@ def _attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
         return jnp.minimum(j, last)
 
     kv_ix = lambda b, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     KDst = Kst * D
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -303,7 +303,7 @@ def _write_pallas(k, v, k_scale, v_scale, knew, vnew, ks, vs, starts,
                   new_len, layer, quantized):
     """knew/vnew: [B, T, K, D] (+ks/vs [B, T, K] when quantized)."""
     B, T, K, D = knew.shape
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     new_spec = pl.BlockSpec((1, T, K, D), lambda b, *_: (b, 0, 0, 0))
     sc_spec = pl.BlockSpec((1, T, K), lambda b, *_: (b, 0, 0))
 
@@ -324,7 +324,7 @@ def _write_pallas(k, v, k_scale, v_scale, knew, vnew, ks, vs, starts,
         sems = pltpu.SemaphoreType.DMA((4,))
     else:
         kern = functools.partial(_write_kernel, T=T, B=B)
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2 + \
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2 + \
             [any_spec, any_spec]
         inputs = (knew, vnew, k, v)
         out_shape = [jax.ShapeDtypeStruct(k.shape, k.dtype),
