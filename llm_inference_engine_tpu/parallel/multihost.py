@@ -18,6 +18,7 @@ Design (the v5e-16 / 2-host BASELINE.md config):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Optional, Sequence
 
@@ -27,7 +28,8 @@ from jax.sharding import Mesh
 
 from llm_inference_engine_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-__all__ = ["initialize_multihost", "make_multihost_mesh"]
+__all__ = ["initialize_multihost", "make_multihost_mesh", "StepPlan",
+           "agree_step_plan"]
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
@@ -81,3 +83,56 @@ def make_multihost_mesh(dp: int = 1, tp: int = 1,
                 f"axis collectives would cross DCN")
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Lockstep step planning (the hard part of multi-host continuous batching,
+# SURVEY.md §7: requests arrive asynchronously per host, but every host
+# must enter the SAME jitted program with the same static arguments, or
+# the program's collectives deadlock)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class StepPlan:
+    """The per-step program choice every host agrees on.
+
+    ``prefill_len``: padded prompt-chunk length bucket this step (0 = no
+    host admits work — skip the prefill program entirely); hosts with no
+    admissions still execute the prefill with zero-length rows, whose
+    cache writes land beyond their valid lengths (InferenceEngine.prefill
+    semantics) — same program, no-op content.
+    ``kv_hi``: global static attention watermark = max over hosts, so one
+    decode-program variant serves every host's longest sequence.
+    ``any_work``: False only when every host is idle — the driver loop's
+    termination condition (hosts must also EXIT in lockstep).
+    """
+
+    prefill_len: int
+    kv_hi: int
+    any_work: bool
+
+
+def agree_step_plan(local_prefill_len: int, local_kv_hi: int,
+                    local_has_work: bool) -> StepPlan:
+    """All-gather each host's step metadata (3 int32 over DCN — never on
+    the token path's critical collectives) and reduce DETERMINISTICALLY so
+    all hosts compute the identical plan:
+
+        prefill_len = max over hosts (shorter chunks pad up — one shape
+                      bucket, one compiled prefill variant per step),
+        kv_hi       = max over hosts,
+        any_work    = or over hosts.
+
+    Works unchanged in a single process (process_allgather returns this
+    process's row alone)."""
+    from jax.experimental import multihost_utils
+
+    vec = np.asarray([int(local_prefill_len), int(local_kv_hi),
+                      int(bool(local_has_work))], np.int32)
+    rows = np.asarray(multihost_utils.process_allgather(vec))
+    rows = rows.reshape(-1, 3)
+    return StepPlan(
+        prefill_len=int(rows[:, 0].max()),
+        kv_hi=int(rows[:, 1].max()),
+        any_work=bool(rows[:, 2].any()),
+    )

@@ -171,7 +171,8 @@ class InferenceEngine:
                 self.cache, lengths=jnp.asarray(lengths))
 
     def prefill(self, prompts: Sequence[Sequence[int]],
-                slots: Optional[Sequence[int]] = None):
+                slots: Optional[Sequence[int]] = None,
+                pad_to: int | None = None):
         """Prefill prompt token ids into ``slots`` (default [0, len)).
 
         Appends to any existing history in those slots (multi-round chat:
@@ -186,6 +187,11 @@ class InferenceEngine:
         predecessors), bounding both jit shape variants and activation
         memory regardless of prompt length.
 
+        ``pad_to``: multi-host lockstep override (parallel/multihost.py) —
+        every host must trace the SAME chunk shapes and the SAME number of
+        chunk rounds, so the agreed global max prompt length drives both,
+        regardless of this host's local prompts (possibly none).
+
         Returns last-token logits [B, V] (rows for untouched slots are
         don't-care).
         """
@@ -198,7 +204,9 @@ class InferenceEngine:
                              if len(prompts) > B else
                              f"{len(slots)} slots for {len(prompts)} prompts")
         C = max(1, eng.max_prefill_len)
-        max_len = max(len(p) for p in prompts)
+        max_len = max([len(p) for p in prompts] or [0])
+        if pad_to is not None:
+            max_len = max(max_len, pad_to)
         lengths_host = np.asarray(jax.device_get(self.cache.lengths))
 
         final_logits = None
@@ -210,6 +218,8 @@ class InferenceEngine:
                 n = min(max(len(p) - offset, 0), C)
                 chunk_lens[slot] = n
                 chunk_max = max(chunk_max, n)
+            if pad_to is not None:
+                chunk_max = max(chunk_max, min(max_len - offset, C))
             T = _bucket_len(max(chunk_max, 1), cap=C)
             token_ids = np.zeros((B, T), np.int32)
             for slot, p in zip(slots, prompts):
@@ -248,18 +258,22 @@ class InferenceEngine:
         return self._sample_fn(logits, sub, jnp.asarray(temperature),
                                jnp.asarray(top_k), jnp.asarray(top_p))
 
-    def decode_step(self, tokens, active, sp_or_arrays):
+    def decode_step(self, tokens, active, sp_or_arrays,
+                    kv_hi: int | None = None):
         """One decode step over all slots. tokens/active: [B] device or np.
         ``sp_or_arrays``: a SamplingParams (uniform) or a (temperature,
-        top_k, top_p) triple of per-slot [B] arrays."""
+        top_k, top_p) triple of per-slot [B] arrays. ``kv_hi``: multi-host
+        lockstep override of the static attention watermark (every host
+        must trace the same decode-program variant)."""
         if isinstance(sp_or_arrays, SamplingParams):
             temp, topk, topp = self._sampling_arrays(sp_or_arrays)
         else:
             temp, topk, topp = (jnp.asarray(a) for a in sp_or_arrays)
         self._key, sub = jax.random.split(self._key)
         active = jnp.asarray(active)
-        kv_hi = self._kv_watermark(
-            np.asarray(jax.device_get(self.cache.lengths)), 1)
+        if kv_hi is None:
+            kv_hi = self._kv_watermark(
+                np.asarray(jax.device_get(self.cache.lengths)), 1)
         nxt, self.cache = self._decode_fn(
             self.params, self.cache, jnp.asarray(tokens), active, sub,
             temp, topk, topp, kv_hi=kv_hi)

@@ -1,0 +1,173 @@
+"""Multi-host continuous batching: lockstep scheduling + request routing.
+
+The reference is single-process (SURVEY.md §2f); this is the scale-out
+serving tier. Two deployment shapes (parallel/multihost.py):
+
+1. **DP across hosts** (model fits a host's slice): every host runs an
+   independent engine + ContinuousBatchingScheduler over its local chips;
+   nothing crosses DCN on the token path. ``RequestRouter`` is the front
+   door that spreads an open request stream over those per-host
+   schedulers (least-loaded placement).
+
+2. **Model axis crosses hosts** (model larger than a host's slice): all
+   hosts execute ONE sharded jitted program whose collectives span DCN —
+   so every host must enter the same program with the same static
+   arguments each step, even though requests arrive asynchronously per
+   host. ``MultiHostScheduler`` provides that lockstep: before every
+   step it all-gathers 3 scalars of metadata (parallel/multihost.py
+   agree_step_plan) and derives the identical (prefill length bucket,
+   kv watermark, keep-running) triple on every host. Hosts with no local
+   admissions still run the agreed prefill with zero-length rows; hosts
+   with no work still run decode with an all-false active mask; all
+   hosts exit together only when no host has work.
+
+In a single process the agreement is the identity, so the lockstep
+scheduler behaves exactly like ContinuousBatchingScheduler — pinned by
+tests/test_multihost_scheduler.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from llm_inference_engine_tpu.config import SamplingParams
+from llm_inference_engine_tpu.parallel.multihost import agree_step_plan
+from llm_inference_engine_tpu.runtime.scheduler import (
+    ContinuousBatchingScheduler, Request)
+
+__all__ = ["MultiHostScheduler", "RequestRouter"]
+
+
+def _bucket(n: int, floor: int = 16) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+class MultiHostScheduler(ContinuousBatchingScheduler):
+    """ContinuousBatchingScheduler with every step gated on the cross-host
+    StepPlan. See module docstring (shape 2)."""
+
+    def _admit(self) -> list[Request]:
+        free = [i for i, r in enumerate(self.slots) if r is None]
+        admitted: list[Request] = []
+        while free and self.waiting:
+            req = self.waiting.popleft()
+            slot = free.pop(0)
+            req.slot = slot
+            self.slots[slot] = req
+            self._temp[slot] = (0.0 if req.sampling.greedy
+                                else req.sampling.temperature)
+            self._topk[slot] = req.sampling.top_k
+            self._topp[slot] = req.sampling.top_p
+            admitted.append(req)
+
+        # lockstep point 1: agree on this step's prefill length bucket
+        # (0 on hosts with no admissions; the max drives every host)
+        local_len = max([len(r.prompt_ids) for r in admitted] or [0])
+        local_len = _bucket(local_len) if local_len else 0
+        plan = agree_step_plan(local_len, self._local_kv_hi(),
+                               self.has_work)
+        self._plan = plan
+
+        if plan.prefill_len == 0:
+            return []
+        # every host runs the same prefill program (padded to the agreed
+        # length), with or without local admissions
+        if admitted:
+            self.engine.reset([r.slot for r in admitted])
+        logits = self.engine.prefill(
+            [r.prompt_ids for r in admitted],
+            slots=[r.slot for r in admitted],
+            pad_to=plan.prefill_len)
+        if admitted:
+            first = np.asarray(self.engine.sample(
+                logits, self._temp, self._topk, self._topp))
+            for req in admitted:
+                self._accept_token(req, int(first[req.slot]))
+        return admitted
+
+    def _local_kv_hi(self) -> int:
+        lengths = np.asarray(self.engine.cache.lengths)
+        return self.engine._kv_watermark(lengths, 1)
+
+    def step(self) -> list[Request]:
+        before = [r for r in self.slots if r is not None]
+        done: list[Request] = []
+
+        admitted = self._admit()
+        done += [r for r in admitted if r.finished]
+
+        active_mask = np.array([r is not None and not r.finished
+                                for r in self.slots], bool)
+        # lockstep point 2: decode runs on EVERY host with the agreed
+        # watermark while any host still has live slots (an idle host's
+        # all-false active mask makes its rows no-ops)
+        plan = self._plan
+        if plan.any_work:
+            nxt = np.asarray(self.engine.decode_step(
+                self._last_token, active_mask,
+                (self._temp, self._topk, self._topp),
+                kv_hi=plan.kv_hi))
+            for slot in np.nonzero(active_mask)[0]:
+                req = self.slots[slot]
+                if req is not None:
+                    self._accept_token(req, int(nxt[slot]))
+
+        done += [r for r in before + admitted
+                 if r.finished and r not in done]
+        return done
+
+    def run(self, max_steps: int = 1_000_000) -> list[Request]:
+        """Drive until NO host has work (the agreed any_work flag — hosts
+        must exit in lockstep, not when their local queue drains)."""
+        finished: list[Request] = []
+        self._plan = None
+        for _ in range(max_steps):
+            finished += self.step()
+            if not self._plan.any_work:
+                break
+        return finished
+
+
+class RequestRouter:
+    """Front door for DP-across-hosts serving (shape 1): spread requests
+    over independent per-host schedulers, least-loaded first."""
+
+    def __init__(self, schedulers: Sequence[ContinuousBatchingScheduler]):
+        if not schedulers:
+            raise ValueError("need at least one scheduler")
+        self.schedulers = list(schedulers)
+
+    def _load(self, s: ContinuousBatchingScheduler) -> tuple[int, int]:
+        return (len(s.waiting), s.num_active)
+
+    def submit(self, prompt_ids: Sequence[int],
+               sampling: SamplingParams = SamplingParams(),
+               stream_callback=None) -> Request:
+        target = min(self.schedulers, key=self._load)
+        return target.submit(prompt_ids, sampling, stream_callback)
+
+    @property
+    def has_work(self) -> bool:
+        return any(s.has_work for s in self.schedulers)
+
+    def step(self) -> list[Request]:
+        """One step on every host's scheduler (in a real deployment each
+        host steps its own; this drives them all for single-process use)."""
+        done: list[Request] = []
+        for s in self.schedulers:
+            if s.has_work:
+                done += s.step()
+        return done
+
+    def run(self, max_steps: int = 1_000_000) -> list[Request]:
+        finished: list[Request] = []
+        for _ in range(max_steps):
+            if not self.has_work:
+                break
+            finished += self.step()
+        return finished
