@@ -211,7 +211,8 @@ def _int8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks,
     @pl.when(ik == num_k_blocks - 1)
     def _fin():
         scale = s_ref[...].reshape(-1)             # [bn]
-        o_ref[:] = (acc_ref[:] * scale[None, :]).astype(o_ref.dtype)
+        y = (acc_ref[:] * scale[None, :]).astype(o_ref.dtype)
+        o_ref[...] = y.reshape(o_ref.shape)        # [bm, bn] or [1, bm, bn]
 
 
 def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks,
@@ -243,26 +244,27 @@ def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, num_k_blocks,
 
     @pl.when(ik == num_k_blocks - 1)
     def _fin():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        o_ref[...] = acc_ref[:].astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "group_size", "out_dtype", "bm", "bn", "bk",
-                     "interpret", "sel"))
+                     "interpret"))
 def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
-                             bm, bn, bk, interpret, layer=None, sel=None):
+                             bm, bn, bk, interpret, layer=None):
     """Fused dequant-matmul.
 
     Per-layer weights: q [in(/2), out], scale [1|groups, out].
     Stacked weights (``layer`` given — a traced int32 read via scalar
     prefetch, never a sliced-out copy): q [L, in(/2), out] or, for the
-    structured gate|up stack, [L, in(/2), 2, I] with ``sel`` statically
-    choosing gate (0) or up (1). Scales carry the same leading dims.
+    structured gate|up stack, [L, 2, in(/2), I] — both halves run in the
+    SAME call (the grid's N dimension enumerates them) and the result is
+    [2, m, I]. Scales carry the same leading dims.
     """
     m, k = x2.shape
     layered = layer is not None
-    structured = sel is not None
+    structured = q.ndim == 4
     n = q.shape[-1]
     nm, nn, nk = cdiv(m, bm), cdiv(n, bn), cdiv(k, bk)
 
@@ -270,9 +272,13 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
     if layered:
         # stacked q: [L, in', n] or structured [L, 2, in', I] (the 2-axis
         # ahead of the block dims — a trailing (.., 1, bn) block over an
-        # interior size-2 axis would violate Mosaic's block-shape rules)
+        # interior size-2 axis would violate Mosaic's block-shape rules).
+        # Structured runs gate and up in ONE pallas call: the grid's N
+        # dimension enumerates both halves (j // nn selects the half) and
+        # the output is [2, m, I] — two calls per layer paid an extra
+        # kernel invocation per layer per step for nothing.
         if structured:
-            q_ix = lambda i, j, l, ly: (ly[0], sel, l, j)
+            q_ix = lambda i, j, l, ly: (ly[0], j // nn, l, j % nn)
             q_blk = (1, 1, qrows, bn)
         else:
             q_ix = lambda i, j, l, ly: (ly[0], l, j)
@@ -280,7 +286,7 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
         if mode == "int8":
             # scale [L, 1, n] / [L, 2, 1, I]
             if structured:
-                s_ix = lambda i, j, l, ly: (ly[0], sel, 0, j)
+                s_ix = lambda i, j, l, ly: (ly[0], j // nn, 0, j % nn)
                 s_blk = (1, 1, 1, bn)
             else:
                 s_ix = lambda i, j, l, ly: (ly[0], 0, j)
@@ -291,7 +297,7 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
             gb = bk // group_size
             if structured:                       # [L, 2, G, I]
                 scale = scale.reshape(*scale.shape[:3], 1, scale.shape[3])
-                s_ix = lambda i, j, l, ly: (ly[0], sel, l, 0, j)
+                s_ix = lambda i, j, l, ly: (ly[0], j // nn, l, 0, j % nn)
                 s_blk = (1, 1, gb, 1, bn)
             else:                                # [L, G, n]
                 scale = scale.reshape(scale.shape[0], scale.shape[1], 1,
@@ -299,7 +305,10 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
                 s_ix = lambda i, j, l, ly: (ly[0], l, 0, j)
                 s_blk = (1, gb, 1, bn)
         x_ix = lambda i, j, l, ly: (i, l)
-        o_ix = lambda i, j, l, ly: (i, j)
+        if structured:
+            o_ix = lambda i, j, l, ly: (j // nn, i, j % nn)
+        else:
+            o_ix = lambda i, j, l, ly: (i, j)
         num_prefetch = 1
         extra = (jnp.asarray(layer, jnp.int32).reshape(1),)
     else:
@@ -330,21 +339,30 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
         base = kern
         kern = lambda ly_ref, *refs: base(*refs)
 
+    if structured:
+        out_shape = jax.ShapeDtypeStruct((2, m, n), out_dtype)
+        out_spec = pl.BlockSpec((1, bm, bn), o_ix)
+        grid = (nm, 2 * nn, nk)
+    else:
+        out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
+        out_spec = pl.BlockSpec((bm, bn), o_ix)
+        grid = (nm, nn, nk)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_prefetch,
-        grid=(nm, nn, nk),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), x_ix),
             pl.BlockSpec(q_blk, q_ix),
             pl.BlockSpec(s_blk, s_ix),
         ],
-        out_specs=pl.BlockSpec((bm, bn), o_ix),
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -489,11 +507,10 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
 
     scale = t.scale.astype(jnp.float32)
     if structured:
-        outs = [_quantized_matmul_pallas(
+        out = _quantized_matmul_pallas(
             x2, t.q, scale, t.mode, t.group_size, jnp.dtype(out_dtype),
-            bm, bn, bk, pallas_interpret(), layer=layer, sel=s)
-            for s in (0, 1)]
-        y = jnp.concatenate(outs, axis=-1).reshape(*lead, 2 * n)
+            bm, bn, bk, pallas_interpret(), layer=layer)     # [2, m, I]
+        y = jnp.concatenate([out[0], out[1]], axis=-1).reshape(*lead, 2 * n)
     else:
         y = _quantized_matmul_pallas(
             x2, t.q, scale, t.mode, t.group_size, jnp.dtype(out_dtype),
