@@ -62,20 +62,73 @@ class SpeculativeDecoder:
         self.k = num_draft
 
         tcfg, teng = target.config, target.engine_config
+        dcfg, deng = draft.config, draft.engine_config
+        k = num_draft
 
-        @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnames=("kv_hi",))
-        def _verify(params, cache, tokens, q_start, kv_len, kv_hi=None):
-            logits, cache = llama_model.forward_all_logits(
-                tcfg, teng, params, tokens, cache, q_start, kv_len,
-                kv_hi=kv_hi)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+        @functools.partial(jax.jit, donate_argnums=(1, 3),
+                           static_argnames=("kv_hi_t", "kv_hi_d"))
+        def _round(t_params, t_cache, d_params, d_cache, last, done,
+                   kv_hi_t=None, kv_hi_d=None):
+            """One whole speculative round ON DEVICE — draft k greedy
+            tokens (lax.scan), verify with the target, compute greedy
+            acceptance, and rewind both caches to the accepted frontier.
+            The host sees exactly one call (and one transfer) per round;
+            the previous draft-step loop paid a host round-trip per
+            drafted token."""
+            B = last.shape[0]
+            t_len = t_cache.lengths
+            d_len = d_cache.lengths
 
-        self._verify = _verify
+            # --- draft k greedy steps (draft cache advances as it goes) ---
+            def dbody(carry, _):
+                cache, tok = carry
+                qs = cache.lengths
+                logits, cache = llama_model.forward_hidden(
+                    dcfg, deng, d_params, tok[:, None], cache, qs, qs + 1,
+                    kv_hi=kv_hi_d)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (cache, nxt), nxt
 
-    def _set_lengths(self, engine: InferenceEngine, lengths: np.ndarray):
-        engine.cache = dataclasses.replace(
-            engine.cache, lengths=jnp.asarray(lengths.astype(np.int32)))
+            (d_cache, _), dts = jax.lax.scan(dbody, (d_cache, last), None,
+                                             length=k)
+            draft_toks = dts.T                              # [B, k]
+
+            # --- one target forward verifies last + k drafts ---
+            block = jnp.concatenate([last[:, None], draft_toks], axis=1)
+            logits, t_cache = llama_model.forward_all_logits(
+                tcfg, teng, t_params, block, t_cache, t_len,
+                t_len + (k + 1), kv_hi=kv_hi_t)
+            tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
+
+            # --- greedy acceptance: longest matching draft prefix ---
+            eq = (draft_toks == tgt[:, :k]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)     # [B]
+            bonus = jnp.take_along_axis(tgt, n_acc[:, None], axis=1)[:, 0]
+            j = jnp.arange(k + 1)[None, :]
+            dext = jnp.concatenate(
+                [draft_toks, jnp.zeros((B, 1), jnp.int32)], axis=1)
+            emitted = jnp.where(
+                j < n_acc[:, None], dext,
+                jnp.where(j == n_acc[:, None], bonus[:, None], 0))
+
+            # --- rewind both caches to the accepted frontier ---
+            t_cache = dataclasses.replace(
+                t_cache, lengths=jnp.where(done, t_len,
+                                           t_len + n_acc + 1))
+            # the draft ingested [last, d1..d_{k-1}]; on full acceptance it
+            # must still ingest its own d_k before the bonus arrives
+            d_cache = dataclasses.replace(
+                d_cache, lengths=jnp.where(done, d_len,
+                                           t_len + jnp.minimum(n_acc + 1,
+                                                               k)))
+            full = jnp.logical_and(n_acc == k, jnp.logical_not(done))
+            qs = d_cache.lengths
+            _, d_cache = llama_model.forward_hidden(
+                dcfg, deng, d_params, draft_toks[:, -1:], d_cache, qs,
+                qs + full.astype(jnp.int32), kv_hi=kv_hi_d)
+            return emitted, n_acc, t_cache, d_cache
+
+        self._round = _round
 
     def generate(self, prompts: Sequence[Sequence[int]],
                  max_new_tokens: int = 64,
@@ -111,44 +164,28 @@ class SpeculativeDecoder:
             if (t_len >= max_room).any():
                 break
 
-            # --- draft k tokens (its own cache advances as it decodes) ---
-            draft_toks = np.zeros((B, self.k), np.int32)
-            cur = last.copy()
-            for j in range(self.k):
-                nxt = np.asarray(self.draft.decode_step(
-                    cur, ~done, (np.zeros(B, np.float32),
-                                 np.ones(B, np.int32),
-                                 np.ones(B, np.float32))))
-                draft_toks[:, j] = nxt
-                cur = nxt
+            # --- the whole round (draft scan + verify + acceptance +
+            # rollback) is ONE device call; only the emitted tokens and
+            # accept counts come back to the host ---
+            kv_hi_t = self.target._kv_watermark(t_len, self.k + 1)
+            kv_hi_d = self.draft._kv_watermark(t_len, self.k + 1)
+            emitted, n_acc, self.target.cache, self.draft.cache = \
+                self._round(
+                    self.target.params, self.target.cache,
+                    self.draft.params, self.draft.cache,
+                    jnp.asarray(last), jnp.asarray(done),
+                    kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
+            emitted = np.asarray(emitted)           # [B, k+1]
+            n_acc = np.asarray(n_acc)
 
-            # --- one target forward verifies last + k drafts ---
-            block = np.concatenate([last[:, None], draft_toks], axis=1)
-            q_start = self.target.cache.lengths
-            kv_len = q_start + (self.k + 1)
-            kv_hi = self.target._kv_watermark(t_len, self.k + 1)
-            argmax, self.target.cache = self._verify(
-                self.target.params, self.target.cache,
-                jnp.asarray(block), q_start, kv_len, kv_hi=kv_hi)
-            self.target.cache = dataclasses.replace(
-                self.target.cache, lengths=kv_len)
-            tgt = np.asarray(argmax)        # [B, k+1]; tgt[:, j] follows
-            #                                 block[:, j]
-
-            # --- greedy acceptance per sequence ---
-            n_acc = np.zeros((B,), np.int32)
+            # --- host bookkeeping: stops, output, next round's tokens ---
             new_last = last.copy()
             for i in range(nseq):
                 if done[i]:
                     continue
-                n = 0
-                while n < self.k and draft_toks[i, n] == tgt[i, n]:
-                    n += 1
-                n_acc[i] = n
-                emitted = list(draft_toks[i, :n]) + [int(tgt[i, n])]
                 drafted += self.k
-                accepted += n
-                for t in emitted:
+                accepted += int(n_acc[i])
+                for t in emitted[i, :n_acc[i] + 1]:
                     if int(t) in stop or len(out[i]) >= max_new_tokens:
                         done[i] = True
                         if int(t) in stop:
@@ -156,22 +193,6 @@ class SpeculativeDecoder:
                         break
                     out[i].append(int(t))
                 new_last[i] = out[i][-1]
-
-            # --- rewind both caches to the accepted frontier ---
-            # target wrote [last, d1..dk]; valid history = last + n accepted
-            t_new = t_len + n_acc + 1
-            self._set_lengths(self.target, t_new)
-            # the draft only ever ingested [last, d1..d_{k-1}] — when every
-            # draft was accepted (n == k) it must still ingest its own d_k
-            # before the bonus token arrives next round
-            self._set_lengths(self.draft,
-                              t_len + np.minimum(n_acc + 1, self.k))
-            full = (n_acc == self.k) & ~done
-            if full.any():
-                self.draft.decode_step(
-                    draft_toks[:, -1].copy(), full,
-                    (np.zeros(B, np.float32), np.ones(B, np.int32),
-                     np.ones(B, np.float32)))
             last = new_last
 
         return SpecResult(
