@@ -124,7 +124,7 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
             kn, vn = k_new, v_new
         attn_out, ck, cv = attention_decode_fused_mxu(
             q, kn, vn, cache.k, cache.v, q_start, kv_len, layer_idx,
-            sm_scale=sm_scale, block_kv=eng.block_kv, kv_hi=kv_hi,
+            sm_scale=sm_scale, block_kv=eng.decode_block_kv, kv_hi=kv_hi,
             embedded=cache.embedded_scales)
         cache = dataclasses.replace(cache, k=ck, v=cv)
     else:
@@ -132,10 +132,11 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         cache = kvc.update_cache_at_layer(cache, layer_idx, k_new, v_new,
                                           q_start, new_len=kv_len - q_start,
                                           kernels=kernels)
+        bkv = eng.decode_block_kv if T == 1 else eng.block_kv
         attn_out = attention(q, cache.k, cache.v, q_start, kv_len,
                              causal=True, sm_scale=sm_scale,
                              block_q=eng.block_q,
-                             block_kv=eng.block_kv, kernels=kernels,
+                             block_kv=bkv, kernels=kernels,
                              k_scale=cache.k_scale, v_scale=cache.v_scale,
                              layer=layer_idx, kv_hi=kv_hi,
                              embedded_kv=cache.embedded_scales)
