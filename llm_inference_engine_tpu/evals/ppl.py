@@ -74,7 +74,8 @@ class Scorer:
         self._cache = kvc.new_kv_cache(
             cfg.num_layers, batch, cfg.num_kv_heads, window, cfg.head_dim,
             dtype=cfg.dtype,
-            quantized=self.eng.kv_cache_dtype == jnp.int8)
+            quantized=self.eng.kv_cache_dtype == jnp.int8,
+            pad_to_tiles=None)  # auto: model layer adapts
 
     def score(self, token_ids: Sequence[int]) -> tuple[float, int]:
         """(total negative log-likelihood, number of predicted tokens)."""

@@ -293,6 +293,53 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 # Handles GQA natively (any G) — one kernel for every decode config.
 # ---------------------------------------------------------------------------
 
+def _kv_compute_dtype(storage_dtype):
+    """Dtype the MXU decode dots run in for a given kv storage dtype: an
+    int8 cache feeds the MXU natively against bf16 operands; float caches
+    dot in their own dtype (a hard-coded bf16 qd against an f32 cache is a
+    Mosaic-illegal mixed matmul — caught on hardware, invisible to the
+    interpret-mode tests)."""
+    return jnp.bfloat16 if storage_dtype == jnp.int8 else storage_dtype
+
+
+def _block_diag_q(q, Kst: int, group: int, dtype):
+    """q [H, D] -> block-diagonal [Kst*D, H]: qd[k*D+d, h] = q[h, d] iff
+    h // G == k. Rows for embedded-scale pad heads (k >= H//G) stay zero,
+    so the pad rows' payload (scale codes / garbage) never reaches the
+    scores."""
+    H, D = q.shape
+    qkdh = jnp.broadcast_to(jnp.swapaxes(q, 0, 1)[None, :, :],
+                            (Kst, D, H))                 # q[h, d] at (k, d, h)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 0)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 2)
+    return jnp.where(hh // group == kk, qkdh, 0).reshape(
+        Kst * D, H).astype(dtype)
+
+
+def _expand_group_scales(sc, K: int, group: int):
+    """Per-kv-head scales [bk, K] -> per-query-head [bk, K*G]. A lane-dim
+    group expansion via broadcast+reshape (merging the K and G lanes) is
+    an unsupported Mosaic relayout — use a one-hot matmul instead (tiny
+    [bk, K] @ [K, H] dot)."""
+    if group == 1:
+        return sc
+    H = K * group
+    ek = jax.lax.broadcasted_iota(jnp.int32, (K, H), 0)
+    eh = jax.lax.broadcasted_iota(jnp.int32, (K, H), 1)
+    one_hot = (eh // group == ek).astype(jnp.float32)
+    return jax.lax.dot_general(sc, one_hot, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _diag_extract(acc, Kst: int, group: int, D: int):
+    """acc [H, Kst*D] -> [H, D]: out[h, d] = acc[h, (h//G)*D + d]."""
+    H = acc.shape[0]
+    a3 = acc.reshape(H, Kst, D)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 1)
+    return jnp.sum(jnp.where(hh // group == kk, a3, 0.0), axis=1)
+
+
 def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
                        vs_ref, o_ref, qd_ref, m_ref, l_ref, acc_ref, *,
                        sm_scale, block_kv, num_kv_blocks, K, group,
@@ -300,7 +347,6 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
     b = pl.program_id(0)
     ikv = pl.program_id(1)
     kv_len = kl_ref[b]
-    H = K * group
     Kst = k_ref.shape[-2]            # K (+EMBED_PAD when embedded)
     KDst = Kst * k_ref.shape[-1]
     D = k_ref.shape[-1]
@@ -310,16 +356,7 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        # block-diagonal q: qd[k*D+d, h] = q[h, d] iff h // G == k.
-        # Rows for embedded-scale pad heads stay zero, so the pad rows'
-        # payload (scale codes / garbage) never reaches the scores.
-        q = q_ref[0]                                     # [H, D]
-        qkdh = jnp.broadcast_to(jnp.swapaxes(q, 0, 1)[None, :, :],
-                                (Kst, D, H))             # q[h, d] at (k, d, h)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 0)
-        hh = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 2)
-        qd = jnp.where(hh // group == kk, qkdh, 0)
-        qd_ref[:] = qd.reshape(KDst, H).astype(qd_ref.dtype)
+        qd_ref[:] = _block_diag_q(q_ref[0], Kst, group, qd_ref.dtype)
 
     start = ikv * block_kv
 
@@ -342,21 +379,8 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
         else:
             ks1 = vs1 = None
 
-        def expand_heads(sc):                    # [bk, K] -> [bk, H]
-            # lane-dim group expansion: a broadcast+reshape merging (K, G)
-            # lanes is an unsupported Mosaic relayout — use a one-hot
-            # matmul instead (tiny [bk, K] @ [K, H] dot)
-            if group == 1:
-                return sc
-            ek = jax.lax.broadcasted_iota(jnp.int32, (K, H), 0)
-            eh = jax.lax.broadcasted_iota(jnp.int32, (K, H), 1)
-            one_hot = (eh // group == ek).astype(jnp.float32)
-            return jax.lax.dot_general(
-                sc, one_hot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
         if ks1 is not None:
-            s = s * expand_heads(ks1)            # k dequant on scores
+            s = s * _expand_group_scales(ks1, K, group)  # k dequant on scores
         cols = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + start)
         mask = cols < kv_len
         s = jnp.where(mask, s, _NEG_INF)
@@ -368,9 +392,9 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
         p = jnp.where(mask, p, 0.0)              # [bk, H]
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=0)[:, None]
         if vs1 is not None:
-            p = p * expand_heads(vs1)            # v dequant on weights
+            p = p * _expand_group_scales(vs1, K, group)  # v dequant on weights
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v2, (((0,), (0,)), ((), ())),
+            p.astype(qd_ref.dtype), v2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [H, KDst]
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
@@ -379,12 +403,7 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
     def _finalize():
         l = l_ref[:]
         l = jnp.where(l == 0.0, 1.0, l)
-        acc = acc_ref[:] / l                     # [H, KDst]
-        # diagonal block extract: out[h, d] = acc[h, (h//G)*D + d]
-        a3 = acc.reshape(H, Kst, D)
-        hh = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 0)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 1)
-        out = jnp.sum(jnp.where(hh // group == kk, a3, 0.0), axis=1)  # [H, D]
+        out = _diag_extract(acc_ref[:] / l, Kst, group, D)    # [H, D]
         o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -467,7 +486,7 @@ def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, D), q_ix),
         scratch_shapes=[
-            pltpu.VMEM((KDst, H), jnp.bfloat16),
+            pltpu.VMEM((KDst, H), _kv_compute_dtype(k_cache.dtype)),
             pltpu.VMEM((H, 1), jnp.float32),
             pltpu.VMEM((H, 1), jnp.float32),
             pltpu.VMEM((H, KDst), jnp.float32),
@@ -483,10 +502,12 @@ def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
 
 
 def can_decode_mxu(q_shape, Kst: int, D: int) -> bool:
-    """MXU decode path shape gate: one token, tile-aligned head dims (the
-    padded cache guarantees this for production models)."""
-    B, T, H, _ = q_shape
-    return T == 1 and D % 128 == 0 and H % 8 == 0 and Kst % 8 == 0
+    """MXU decode path shape gate: one token, q head_dim matching the
+    cache, tile-aligned head dims (the padded cache guarantees alignment
+    for production models)."""
+    B, T, H, qD = q_shape
+    return (T == 1 and qD == D and D % 128 == 0 and H % 8 == 0
+            and Kst % 8 == 0)
 
 
 def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
@@ -518,13 +539,7 @@ def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        q = q_ref[0]                                     # [H, D]
-        qkdh = jnp.broadcast_to(jnp.swapaxes(q, 0, 1)[None, :, :],
-                                (Kst, D, H))
-        kk = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 0)
-        hh = jax.lax.broadcasted_iota(jnp.int32, (Kst, D, H), 2)
-        qd_ref[:] = jnp.where(hh // group == kk, qkdh, 0).reshape(
-            KDst, H).astype(qd_ref.dtype)
+        qd_ref[:] = _block_diag_q(q_ref[0], Kst, group, qd_ref.dtype)
 
     @pl.when(jnp.logical_and(ikv == 0, active))
     def _start_write():
@@ -546,20 +561,10 @@ def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
             k2, qd_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale    # [bk, H]
         if embedded:
-            ks1 = decode_embedded_scales(k_ref[0, 0][:, K, :], K)  # [bk, K]
-            vs1 = decode_embedded_scales(v_ref[0, 0][:, K, :], K)
-            if group > 1:
-                # one-hot matmul group expansion (see _decode_mxu_kernel:
-                # a lane-merging broadcast+reshape is an unsupported
-                # Mosaic relayout)
-                ek = jax.lax.broadcasted_iota(jnp.int32, (K, H), 0)
-                eh = jax.lax.broadcasted_iota(jnp.int32, (K, H), 1)
-                one_hot = (eh // group == ek).astype(jnp.float32)
-                expand = lambda sc: jax.lax.dot_general(
-                    sc, one_hot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                ks1 = expand(ks1)
-                vs1 = expand(vs1)
+            ks1 = _expand_group_scales(
+                decode_embedded_scales(k_ref[0, 0][:, K, :], K), K, group)
+            vs1 = _expand_group_scales(
+                decode_embedded_scales(v_ref[0, 0][:, K, :], K), K, group)
             s = s * ks1
         cols = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + start)
         mask = cols < hist_lim
@@ -574,7 +579,7 @@ def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
         if embedded:
             p = p * vs1
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v2, (((0,), (0,)), ((), ())),
+            p.astype(qd_ref.dtype), v2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
@@ -608,11 +613,7 @@ def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
         p_new = jnp.exp(s_new - m_f)
         p_new = jnp.where(active, p_new, 0.0)
         l_f = alpha * l_prev + p_new
-        acc = acc_ref[:] * alpha                         # [H, KDst]
-        a3 = acc.reshape(H, Kst, D)
-        hh = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 0)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (H, Kst, D), 1)
-        accd = jnp.sum(jnp.where(hh // group == kk, a3, 0.0), axis=1)
+        accd = _diag_extract(acc_ref[:] * alpha, Kst, group, D)   # [H, D]
         out = (accd + p_new * expand_rows(vnv)) / jnp.where(
             l_f == 0.0, 1.0, l_f)
         o_ref[0] = out.astype(o_ref.dtype)
@@ -669,7 +670,7 @@ def _attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
             any_spec,
         ],
         scratch_shapes=[
-            pltpu.VMEM((KDst, H), jnp.bfloat16),
+            pltpu.VMEM((KDst, H), _kv_compute_dtype(k_cache.dtype)),
             pltpu.VMEM((H, 1), jnp.float32),
             pltpu.VMEM((H, 1), jnp.float32),
             pltpu.VMEM((H, KDst), jnp.float32),
@@ -763,10 +764,6 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
     if kv_hi is not None:
         Skv = min(Skv, max(block_kv, round_up(kv_hi, block_kv)))
 
-    if embedded and rows > G:
-        # prefill with embedded int8: the in-kernel dequant holds f32 copies
-        # of the (bk, K+pad, D) blocks — halve the kv block to fit VMEM
-        block_kv = min(block_kv, 64)
     bq = rows if rows <= block_q else max(8, (block_q // 8) * 8)
     bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
     nq = cdiv(rows, bq)

@@ -127,12 +127,14 @@ def new_kv_cache(num_layers: int, batch_size: int, num_kv_heads: int,
                  max_seq_len: int, head_dim: int, dtype=jnp.bfloat16,
                  quantized: bool = False,
                  embedded: Optional[bool] = None,
-                 pad_to_tiles: Optional[bool] = None) -> KVCache:
-    """``pad_to_tiles`` (default: on when compiled Pallas kernels run) pads
-    K/D up to the (8, 128) tile; the model layer zero-pads its new-token
-    writes and queries to match and slices the attention output back
-    (models/llama.py), so padded and unpadded caches are numerically
-    identical."""
+                 pad_to_tiles: Optional[bool] = False) -> KVCache:
+    """``pad_to_tiles`` pads K/D up to the (8, 128) tile. None = pad when
+    compiled Pallas kernels will run — ONLY for callers whose forwards go
+    through models/llama.py, which zero-pads its new-token writes and
+    queries to match and slices the attention output back (numerically
+    identical, pinned by tests/test_padded_cache.py). The default is
+    False so direct users of the low-level cache/attention ops get
+    exactly the K/D they asked for."""
     if pad_to_tiles is None:
         pad_to_tiles = use_pallas("auto") and not pallas_interpret()
     if pad_to_tiles:

@@ -73,7 +73,8 @@ def beam_search(config: ModelConfig, engine_config: EngineConfig, params,
 
     cache = kvc.new_kv_cache(cfg.num_layers, B, cfg.num_kv_heads, S,
                              cfg.head_dim, dtype=cfg.dtype,
-                             quantized=eng.kv_cache_dtype == jnp.int8)
+                             quantized=eng.kv_cache_dtype == jnp.int8,
+                             pad_to_tiles=None)  # auto: model layer adapts
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def _prefill(params, cache, ids):

@@ -80,7 +80,8 @@ class InferenceEngine:
             quantized=engine_config.kv_cache_dtype == jnp.int8,
             # embedded scale rows and tile padding are single-device only
             # (sharding the padded head axis would split pad rows / the
-            # scale row across devices)
+            # scale row across devices); None = auto (the model layer
+            # adapts to a padded cache)
             embedded=False if (mesh is not None) else None,
             pad_to_tiles=False if (mesh is not None) else None)
 
@@ -172,7 +173,8 @@ class InferenceEngine:
 
     def prefill(self, prompts: Sequence[Sequence[int]],
                 slots: Optional[Sequence[int]] = None,
-                pad_to: int | None = None):
+                pad_to: int | None = None,
+                kv_hi: int | None = None):
         """Prefill prompt token ids into ``slots`` (default [0, len)).
 
         Appends to any existing history in those slots (multi-round chat:
@@ -187,10 +189,11 @@ class InferenceEngine:
         predecessors), bounding both jit shape variants and activation
         memory regardless of prompt length.
 
-        ``pad_to``: multi-host lockstep override (parallel/multihost.py) —
-        every host must trace the SAME chunk shapes and the SAME number of
-        chunk rounds, so the agreed global max prompt length drives both,
-        regardless of this host's local prompts (possibly none).
+        ``pad_to`` / ``kv_hi``: multi-host lockstep overrides
+        (parallel/multihost.py) — every host must trace the SAME chunk
+        shapes, chunk-round count, and attention-watermark program
+        variant, so the agreed global values drive all three regardless
+        of this host's local prompts (possibly none).
 
         Returns last-token logits [B, V] (rows for untouched slots are
         don't-care).
@@ -227,11 +230,12 @@ class InferenceEngine:
                 token_ids[slot, :len(chunk)] = np.asarray(chunk, np.int32)
 
             q_start = self.cache.lengths
-            kv_hi = self._kv_watermark(lengths_host + chunk_lens, 0)
+            kv_hi_r = (kv_hi if kv_hi is not None
+                       else self._kv_watermark(lengths_host + chunk_lens, 0))
             kv_len = q_start + jnp.asarray(chunk_lens)
             logits, self.cache = self._prefill_fn(
                 self.params, self.cache, jnp.asarray(token_ids), q_start,
-                kv_len, kv_hi=kv_hi)
+                kv_len, kv_hi=kv_hi_r)
             self.cache = dataclasses.replace(self.cache, lengths=kv_len)
             lengths_host = lengths_host + chunk_lens
 

@@ -34,17 +34,11 @@ import numpy as np
 
 from llm_inference_engine_tpu.config import SamplingParams
 from llm_inference_engine_tpu.parallel.multihost import agree_step_plan
+from llm_inference_engine_tpu.runtime.engine import _bucket_len
 from llm_inference_engine_tpu.runtime.scheduler import (
     ContinuousBatchingScheduler, Request)
 
 __all__ = ["MultiHostScheduler", "RequestRouter"]
-
-
-def _bucket(n: int, floor: int = 16) -> int:
-    b = floor
-    while b < n:
-        b *= 2
-    return b
 
 
 class MultiHostScheduler(ContinuousBatchingScheduler):
@@ -52,47 +46,31 @@ class MultiHostScheduler(ContinuousBatchingScheduler):
     StepPlan. See module docstring (shape 2)."""
 
     def _admit(self) -> list[Request]:
-        free = [i for i, r in enumerate(self.slots) if r is None]
-        admitted: list[Request] = []
-        while free and self.waiting:
-            req = self.waiting.popleft()
-            slot = free.pop(0)
-            req.slot = slot
-            self.slots[slot] = req
-            self._temp[slot] = (0.0 if req.sampling.greedy
-                                else req.sampling.temperature)
-            self._topk[slot] = req.sampling.top_k
-            self._topp[slot] = req.sampling.top_p
-            admitted.append(req)
+        admitted = self._assign_slots()
 
         # lockstep point 1: agree on this step's prefill length bucket
-        # (0 on hosts with no admissions; the max drives every host)
+        # (0 on hosts with no admissions; the max drives every host) and
+        # the attention watermark — computed over the lengths the cache
+        # will have AFTER this admission's prefill, or a freshly admitted
+        # prompt longer than the pre-admission watermark would be silently
+        # truncated by the very next decode
         local_len = max([len(r.prompt_ids) for r in admitted] or [0])
-        local_len = _bucket(local_len) if local_len else 0
-        plan = agree_step_plan(local_len, self._local_kv_hi(),
-                               self.has_work)
+        local_len = _bucket_len(local_len) if local_len else 0
+        projected = np.asarray(self.engine.cache.lengths).copy()
+        for r in admitted:
+            projected[r.slot] = len(r.prompt_ids)
+        local_kv_hi = self.engine._kv_watermark(projected, 1)
+        plan = agree_step_plan(local_len, local_kv_hi, self.has_work)
         self._plan = plan
 
         if plan.prefill_len == 0:
             return []
         # every host runs the same prefill program (padded to the agreed
-        # length), with or without local admissions
-        if admitted:
-            self.engine.reset([r.slot for r in admitted])
-        logits = self.engine.prefill(
-            [r.prompt_ids for r in admitted],
-            slots=[r.slot for r in admitted],
-            pad_to=plan.prefill_len)
-        if admitted:
-            first = np.asarray(self.engine.sample(
-                logits, self._temp, self._topk, self._topp))
-            for req in admitted:
-                self._accept_token(req, int(first[req.slot]))
+        # length, with the agreed watermark), with or without local
+        # admissions
+        self._prefill_admitted(admitted, pad_to=plan.prefill_len,
+                               kv_hi=plan.kv_hi)
         return admitted
-
-    def _local_kv_hi(self) -> int:
-        lengths = np.asarray(self.engine.cache.lengths)
-        return self.engine._kv_watermark(lengths, 1)
 
     def step(self) -> list[Request]:
         before = [r for r in self.slots if r is not None]

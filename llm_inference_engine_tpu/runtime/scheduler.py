@@ -92,7 +92,9 @@ class ContinuousBatchingScheduler:
             s.add(self.eos_token_id)
         return s
 
-    def _admit(self) -> list[Request]:
+    def _assign_slots(self) -> list[Request]:
+        """Move waiting requests into free slots and mirror their sampling
+        params (shared by the single-host and multi-host schedulers)."""
         free = [i for i, r in enumerate(self.slots) if r is None]
         admitted: list[Request] = []
         while free and self.waiting:
@@ -105,16 +107,29 @@ class ContinuousBatchingScheduler:
             self._topk[slot] = req.sampling.top_k
             self._topp[slot] = req.sampling.top_p
             admitted.append(req)
+        return admitted
+
+    def _prefill_admitted(self, admitted: list[Request],
+                          pad_to: int | None = None,
+                          kv_hi: int | None = None) -> None:
+        """Reset + prefill the admitted slots and accept their first
+        sampled tokens."""
+        if admitted:
+            self.engine.reset([r.slot for r in admitted])
+        logits = self.engine.prefill([r.prompt_ids for r in admitted],
+                                     slots=[r.slot for r in admitted],
+                                     pad_to=pad_to, kv_hi=kv_hi)
+        if admitted:
+            first = np.asarray(self.engine.sample(
+                logits, self._temp, self._topk, self._topp))
+            for req in admitted:
+                self._accept_token(req, int(first[req.slot]))
+
+    def _admit(self) -> list[Request]:
+        admitted = self._assign_slots()
         if not admitted:
             return []
-
-        self.engine.reset([r.slot for r in admitted])
-        logits = self.engine.prefill([r.prompt_ids for r in admitted],
-                                     slots=[r.slot for r in admitted])
-        first = np.asarray(self.engine.sample(
-            logits, self._temp, self._topk, self._topp))
-        for req in admitted:
-            self._accept_token(req, int(first[req.slot]))
+        self._prefill_admitted(admitted)
         return admitted
 
     def _accept_token(self, req: Request, token: int) -> None:

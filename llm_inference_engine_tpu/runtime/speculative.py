@@ -122,10 +122,18 @@ class SpeculativeDecoder:
                                            t_len + jnp.minimum(n_acc + 1,
                                                                k)))
             full = jnp.logical_and(n_acc == k, jnp.logical_not(done))
-            qs = d_cache.lengths
-            _, d_cache = llama_model.forward_hidden(
-                dcfg, deng, d_params, draft_toks[:, -1:], d_cache, qs,
-                qs + full.astype(jnp.int32), kv_hi=kv_hi_d)
+
+            def ingest(cache):
+                qs = cache.lengths
+                _, cache = llama_model.forward_hidden(
+                    dcfg, deng, d_params, draft_toks[:, -1:], cache, qs,
+                    qs + full.astype(jnp.int32), kv_hi=kv_hi_d)
+                return cache
+
+            # skip the extra draft forward entirely in rounds where no
+            # sequence fully accepted (the common case at low acceptance)
+            d_cache = jax.lax.cond(jnp.any(full), ingest, lambda c: c,
+                                   d_cache)
             return emitted, n_acc, t_cache, d_cache
 
         self._round = _round

@@ -62,6 +62,30 @@ def test_lockstep_matches_plain_scheduler(rng):
         assert a.finish_reason == b.finish_reason
 
 
+def test_lockstep_long_prompt_watermark(rng):
+    """Regression: the agreed kv watermark must cover lengths AFTER the
+    admission prefill. A 300-token prompt against the 256-token watermark
+    floor previously decoded with attention truncated at 256 (wrong
+    tokens). Needs pallas kernels — the XLA path ignores kv_hi."""
+    rng_a = np.random.default_rng(3)
+    rng_b = np.random.default_rng(3)
+
+    def engine():
+        eng = EngineConfig(max_batch_size=1, max_seq_len=512,
+                           kernels="pallas", block_q=64, block_kv=64)
+        return InferenceEngine(CFG, eng, init_dummy_params(CFG, seed=0))
+
+    ids = rng_a.integers(0, CFG.vocab_size, size=300).tolist()
+    assert (rng_b.integers(0, CFG.vocab_size, size=300).tolist() == ids)
+    plain = ContinuousBatchingScheduler(engine(), eos_token_id=EOS)
+    lock = MultiHostScheduler(engine(), eos_token_id=EOS)
+    ra = plain.submit(ids, SamplingParams(greedy=True, max_new_tokens=4))
+    rb = lock.submit(ids, SamplingParams(greedy=True, max_new_tokens=4))
+    plain.run()
+    lock.run()
+    assert ra.output_ids == rb.output_ids
+
+
 def test_lockstep_idle_host_terminates():
     """No submissions: the first agreed plan has any_work False and the
     loop exits after one lockstep round."""
