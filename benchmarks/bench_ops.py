@@ -33,7 +33,10 @@ def timeit_scan(step, x0, iters=_ITERS, repeats=3):
     per-call dispatch overhead are excluded (host-side timing of individual
     device calls is meaningless over the tunnel; see bench.py note). The
     carry threads a data dependency through every iteration so XLA cannot
-    hoist or elide the op. Fenced by a D2H copy of one element."""
+    hoist or elide the op. Fenced by a D2H copy of ONE element, indexed
+    on-device first — ``np.asarray(out).ravel()[0]`` would ship the whole
+    array through the tunnel (~50 MB/s) and dominate the measurement for
+    prefill-sized carries."""
 
     @jax.jit
     def loop(x):
@@ -43,12 +46,12 @@ def timeit_scan(step, x0, iters=_ITERS, repeats=3):
         return out
 
     out = loop(x0)
-    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]   # warmup + fence
+    _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])   # warmup + fence
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = loop(x0)
-        _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

@@ -177,6 +177,60 @@ def quantized_linear_xla(x: jax.Array, t: QuantizedTensor,
 
 
 # ---------------------------------------------------------------------------
+# Large-m (prefill) path: dequant once + plain bf16 MXU dot
+# ---------------------------------------------------------------------------
+
+_PREFILL_M = 1024   # m >= this routes to _large_m_linear
+
+
+def _dequant_bf16(q2, sc2, mode, group_size):
+    """q2 [in(/2), n] -> bf16 [in, n]. int8 values cast exactly (|q| <= 127
+    fits bf16's 8-bit mantissa) with scales NOT applied — the caller scales
+    the f32 accumulator post-dot, matching the fused kernel's numerics
+    bit-for-bit. int4 grouped scales vary along K so they must be baked
+    into the weight here (one extra bf16 rounding, relative ~2^-9)."""
+    if mode == "int8":
+        return q2.astype(jnp.bfloat16)
+    qi = _unpack_int4(q2, group_size)                     # [in, n] int8
+    k, n = qi.shape
+    qg = qi.reshape(k // group_size, group_size, n).astype(jnp.float32)
+    return (qg * sc2[:, None, :]).reshape(k, n).astype(jnp.bfloat16)
+
+
+def _large_m_linear(x2, t: "QuantizedTensor", layer, out_dtype):
+    """Prefill-sized m: the fused kernel re-streams and re-dequants the
+    weight once per M tile — (m/bm) x weight HBM traffic plus repeated
+    VPU casts — capping it at ~55% MXU at m=2048. Dequantizing the whole
+    weight ONCE to bf16 and issuing a plain XLA bf16 dot runs the dot at
+    ~96% MXU (measured m=2048 K=4096 N=11008: 1.68 ms fused vs 0.97 ms
+    dot + ~0.25 ms dequant; benchmarks/bench_prefill.py). Decode stays on
+    the fused kernels: at m<=32 the dequant would dominate.
+
+    Handles the same layouts as _quantized_matmul_pallas: per-layer 2-D,
+    stacked [L, in', n] (``layer`` traced), and the structured gate|up
+    stack [L, 2, in', I] (returns the flat [m, gate|up] layout)."""
+    q, sc = t.q, t.scale
+    if layer is not None:
+        q = jax.lax.dynamic_index_in_dim(q, layer, 0, keepdims=False)
+        sc = jax.lax.dynamic_index_in_dim(sc, layer, 0, keepdims=False)
+    if q.ndim == 3:                                       # structured
+        w = jnp.concatenate(
+            [_dequant_bf16(q[i], sc[i], t.mode, t.group_size)
+             for i in range(q.shape[0])], axis=-1)        # [in, 2I]
+        post = (jnp.concatenate(list(sc), axis=-1)        # [1, 2I]
+                if t.mode == "int8" else None)
+    else:
+        w = _dequant_bf16(q, sc, t.mode, t.group_size)    # [in, n]
+        post = sc if t.mode == "int8" else None           # [1, n]
+    y = jax.lax.dot_general(x2.astype(jnp.bfloat16), w,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if post is not None:
+        y = y * post
+    return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused dequant-matmul kernels
 # ---------------------------------------------------------------------------
 
@@ -423,6 +477,15 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor):
         bk = min(k_in, 1024)
         feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
                     and _tile_ok(bk, k_in, lane=True))
+    if feasible and bk is not None:
+        # Prefill-sized m: every M grid step re-streams the whole weight
+        # from HBM, so weight traffic is (m/bm) x weight bytes. Escalate
+        # bm while the x block stays modest (cap keeps the working set —
+        # double-buffered x, q, out + f32 acc — inside VMEM even at the
+        # int4 path's huge divisor bk, e.g. K=11008 -> bk=5504).
+        while (bm < 512 and m >= 2 * bm and m % (2 * bm) == 0
+               and (2 * bm) * bk * 2 <= 4 * 1024 * 1024):
+            bm *= 2
     return (bm, bn, bk) if feasible else None
 
 
@@ -457,14 +520,17 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
         x2 = x.reshape(-1, k_in)
         m, n = x2.shape[0], t.q.shape[1]
 
-        plan = _plan_blocks(m, n, k_in, t)
-        if plan is None:  # tiny/debug shapes: XLA path (still fused by XLA)
-            return quantized_linear_xla(x, t, bias, out_dtype)
-        bm, bn, bk = plan
-        y = _quantized_matmul_pallas(
-            x2, t.q, t.scale.astype(jnp.float32), t.mode, t.group_size,
-            jnp.dtype(out_dtype), bm, bn, bk, pallas_interpret())
-        y = y.reshape(*lead, n)
+        if m >= _PREFILL_M and t.mode == "int8":
+            y = _large_m_linear(x2, t, None, out_dtype).reshape(*lead, n)
+        else:
+            plan = _plan_blocks(m, n, k_in, t)
+            if plan is None:  # tiny/debug shapes: XLA path (still fused)
+                return quantized_linear_xla(x, t, bias, out_dtype)
+            bm, bn, bk = plan
+            y = _quantized_matmul_pallas(
+                x2, t.q, t.scale.astype(jnp.float32), t.mode, t.group_size,
+                jnp.dtype(out_dtype), bm, bn, bk, pallas_interpret())
+            y = y.reshape(*lead, n)
         if bias is not None:
             y = (y.astype(jnp.float32)
                  + bias.astype(jnp.float32)).astype(out_dtype)
@@ -498,6 +564,14 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
     x2 = x.reshape(-1, k_in)
     m = x2.shape[0]
     n = t.q.shape[-1]
+
+    if m >= _PREFILL_M and t.mode == "int8":
+        y = _large_m_linear(x2, t, layer, out_dtype)
+        y = y.reshape(*lead, (2 if structured else 1) * n)
+        if bias is not None:
+            y = (y.astype(jnp.float32)
+                 + bias.astype(jnp.float32)).astype(out_dtype)
+        return y
 
     plan = _plan_blocks(m, n, k_in, t)
     if plan is None:

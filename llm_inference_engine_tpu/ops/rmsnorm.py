@@ -70,9 +70,16 @@ def _add_residual_rmsnorm_kernel(x_ref, r_ref, w_ref, o_ref, h_ref, *, eps: floa
     o_ref[:] = (y * w_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _row_block(n_rows: int, hidden: int, dtype) -> int:
-    """Rows per grid step: target ~2 MB per input block in VMEM."""
-    return pick_block_rows(n_rows, hidden * jnp.dtype(dtype).itemsize)
+def _row_block(n_rows: int, hidden: int, dtype, n_bufs: int = 2) -> int:
+    """Rows per grid step. ``n_bufs`` = row-blocks live in the kernel
+    (inputs + outputs); the target keeps the DOUBLE-BUFFERED total well
+    under the 16 MB scoped-VMEM limit with room for concurrently
+    scheduled async copies — the fused add+norm kernel (4 row bufs) at
+    2 MB blocks measured 16.04 MB scoped and OOM'd on hardware once the
+    prefill dequant fusion overlapped it."""
+    target = (8 * 1024 * 1024) // (2 * n_bufs)
+    return pick_block_rows(n_rows, hidden * jnp.dtype(dtype).itemsize,
+                           target_bytes=target)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
@@ -141,7 +148,7 @@ def add_residual_rmsnorm(x, residual, weight, eps: float = 1e-5, *,
         return add_residual_rmsnorm_xla(x, residual, weight, eps)
     x2, shape = _as_2d(x)
     r2, _ = _as_2d(residual)
-    block = _row_block(x2.shape[0], x2.shape[1], x2.dtype)
+    block = _row_block(x2.shape[0], x2.shape[1], x2.dtype, n_bufs=4)
     y, h = _add_residual_rmsnorm_pallas(x2, r2, weight, eps, block,
                                         pallas_interpret())
     return y.reshape(shape), h.reshape(shape)

@@ -102,3 +102,41 @@ def test_quantized_tensor_is_pytree():
     assert isinstance(sliced, QuantizedTensor)
     assert sliced.mode == "int4" and sliced.group_size == 64
     assert sliced.q.shape == qs[0].q.shape
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+@pytest.mark.parametrize("structured", [False, True])
+def test_quantized_linear_large_m_prefill_path(rng, mode, structured):
+    """m >= _PREFILL_M routes to the dequant-once + bf16-dot path
+    (ops/quant._large_m_linear). int8 must match the XLA golden to bf16
+    accumulation noise (int8->bf16 cast is exact, scales post-dot); int4
+    additionally bakes grouped scales into bf16 weights (~2^-9 relative).
+    Covers per-layer, stacked, and the structured gate|up stack layouts."""
+    from llm_inference_engine_tpu.ops.quant import _PREFILL_M
+    m, k, n, L = _PREFILL_M, 256, 128, 2
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    if structured:
+        ws = [(rng.normal(size=(2, k, n)) * 0.02).astype(np.float32)
+              for _ in range(L)]
+        ts = [[quantize_tensor(jnp.asarray(w[s]), mode, 128)
+               for s in range(2)] for w in ws]
+        qk = k // 2 if mode == "int4" else k
+        stacked = QuantizedTensor(
+            q=jnp.stack([jnp.stack([t.q for t in row]) for t in [None]
+                         for row in ts]).reshape(L, 2, qk, n),
+            scale=jnp.stack([jnp.stack([t.scale for t in row])
+                             for row in ts]),
+            mode=mode, group_size=128)
+        got = np.asarray(quantized_linear(
+            jnp.asarray(x), stacked, kernels="pallas", layer=jnp.int32(1)))
+        want = np.concatenate(
+            [np.asarray(quantized_linear_xla(jnp.asarray(x), ts[1][s]))
+             for s in range(2)], axis=-1)
+    else:
+        w = (rng.normal(size=(k, n)) * 0.02).astype(np.float32)
+        t = quantize_tensor(jnp.asarray(w), mode, 128)
+        got = np.asarray(quantized_linear(jnp.asarray(x), t,
+                                          kernels="pallas"))
+        want = np.asarray(quantized_linear_xla(jnp.asarray(x), t))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.02, rel
