@@ -72,11 +72,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--system-prompt", default="")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. 'cpu'); overrides the "
+                        "JAX_PLATFORMS env, which site configs may pin")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform != "tpu":
+            from llm_inference_engine_tpu.utils import set_pallas_interpret
+            set_pallas_interpret(True)
     if not args.dummy_weights and not args.checkpoint:
         print("either --checkpoint or --dummy-weights is required",
               file=sys.stderr)

@@ -52,6 +52,11 @@ def create_real_engine(model: str, checkpoint_path: str,
     safetensors directory or reference .bin directory, quantized on load
     when engine_config.quant_mode says so."""
     cfg = _resolve_config(model)
+    if checkpoint_path.endswith(".npz"):
+        # pre-quantized/pre-fused save_params checkpoint: load as-is
+        # (quantize-once / serve-many; no fp16 staging, no re-quantization)
+        return InferenceEngine(cfg, engine_config,
+                               W.load_saved_params(checkpoint_path))
     if any(f.endswith(".safetensors") for f in os.listdir(checkpoint_path)):
         params = W.load_hf_safetensors(cfg, checkpoint_path)
     else:

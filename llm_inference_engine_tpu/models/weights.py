@@ -42,6 +42,8 @@ __all__ = [
     "fuse_gate_up",
     "load_hf_safetensors",
     "load_reference_bin",
+    "save_params",
+    "load_saved_params",
     "param_count",
     "param_bytes",
 ]
@@ -192,6 +194,82 @@ def quantize_params(params: Params, mode: str = "int8",
     else:
         out["lm_head"] = params["lm_head"]
     return out
+
+
+def save_params(params: Params, path: str) -> None:
+    """Write a params pytree (quantized or not) to one ``.npz`` file.
+
+    The reference never had a save path (its tokenizer file comment points
+    at an export script, torch2flm.py, that is not in its tree —
+    tokenizer.h:137); here quantize-once/serve-many is first-class:
+    ``save_params(quantize_params(load_hf_safetensors(...), "int4"), p)``
+    then ``load_saved_params(p)`` skips both the fp16 materialization and
+    the on-device quantization pass at every engine start.
+
+    bfloat16 leaves are stored as uint16 bit patterns (npz has no bf16);
+    QuantizedTensor leaves store q/scale plus their static metadata.
+    """
+    import json
+
+    arrays: dict[str, np.ndarray] = {}
+    meta: dict[str, Any] = {"format": 1, "leaves": {}}
+
+    def put(prefix: str, v) -> None:
+        if isinstance(v, QuantizedTensor):
+            arrays[prefix + ".q"] = np.asarray(v.q)
+            arrays[prefix + ".scale"] = np.asarray(v.scale)
+            meta["leaves"][prefix] = {"kind": "quant", "mode": v.mode,
+                                      "group_size": v.group_size}
+        else:
+            a = np.asarray(v)
+            if a.dtype == jnp.bfloat16:
+                arrays[prefix] = a.view(np.uint16)
+                meta["leaves"][prefix] = {"kind": "bf16"}
+            else:
+                arrays[prefix] = a
+                meta["leaves"][prefix] = {"kind": "raw"}
+
+    put("embed", params["embed"])
+    for name, v in params["layers"].items():
+        put("layers." + name, v)
+    put("final_norm", params["final_norm"])
+    put("lm_head", params["lm_head"])
+    np.savez(path, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), np.uint8), **arrays)
+
+
+def load_saved_params(path: str, device: bool = True) -> Params:
+    """Load a ``save_params`` checkpoint back into a params pytree
+    (QuantizedTensor leaves restored with their mode/group metadata)."""
+    import json
+
+    z = np.load(path)
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    if meta.get("format") != 1:
+        raise ValueError(f"unknown checkpoint format {meta.get('format')!r}")
+
+    def dev(a):
+        return jnp.asarray(a) if device else a
+
+    def get(prefix: str):
+        info = meta["leaves"][prefix]
+        if info["kind"] == "quant":
+            return QuantizedTensor(
+                q=dev(z[prefix + ".q"]), scale=dev(z[prefix + ".scale"]),
+                mode=info["mode"], group_size=info["group_size"])
+        a = z[prefix]
+        if info["kind"] == "bf16":
+            a = a.view(jnp.bfloat16)
+        return dev(a)
+
+    layer_names = sorted(
+        {k.split(".")[1] for k in meta["leaves"] if k.startswith("layers.")})
+    return {
+        "embed": get("embed"),
+        "layers": {n: get("layers." + n) for n in layer_names},
+        "final_norm": get("final_norm"),
+        "lm_head": get("lm_head"),
+    }
 
 
 def param_count(params: Params) -> int:

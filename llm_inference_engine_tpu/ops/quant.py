@@ -183,18 +183,98 @@ def quantized_linear_xla(x: jax.Array, t: QuantizedTensor,
 _PREFILL_M = 1024   # m >= this routes to _large_m_linear
 
 
+def _large_m_ok(t: "QuantizedTensor", kernels: str = "auto") -> bool:
+    """int8 always (exact cast, no unpack); int4 only when the Pallas
+    dequant-materialize kernel fits the shape — the XLA int4 unpack is
+    slower than the fused matmul it would replace (measured: int4 prefill
+    3697 vs 6938 tok/s when routed through the XLA unpack)."""
+    if t.mode == "int8":
+        return True
+    k_in = t.q.shape[-2] * 2
+    return (use_pallas(kernels) or pallas_interpret()) and \
+        _plan_dequant_blocks(k_in, t.q.shape[-1], t.group_size) is not None
+
+
 def _dequant_bf16(q2, sc2, mode, group_size):
     """q2 [in(/2), n] -> bf16 [in, n]. int8 values cast exactly (|q| <= 127
     fits bf16's 8-bit mantissa) with scales NOT applied — the caller scales
     the f32 accumulator post-dot, matching the fused kernel's numerics
     bit-for-bit. int4 grouped scales vary along K so they must be baked
-    into the weight here (one extra bf16 rounding, relative ~2^-9)."""
+    into the weight here (one extra bf16 rounding, relative ~2^-9); the
+    unpack+scale runs as a Pallas kernel when the shape allows (the XLA
+    int4 unpack was measured 2x slower than the whole fused matmul it was
+    meant to replace), XLA otherwise."""
     if mode == "int8":
         return q2.astype(jnp.bfloat16)
+    plan = _plan_dequant_blocks(q2.shape[0] * 2, q2.shape[1], group_size)
+    if plan is not None and (use_pallas("auto") or pallas_interpret()):
+        return _dequant_int4_pallas(q2, sc2, group_size, *plan,
+                                    pallas_interpret())
     qi = _unpack_int4(q2, group_size)                     # [in, n] int8
     k, n = qi.shape
     qg = qi.reshape(k // group_size, group_size, n).astype(jnp.float32)
     return (qg * sc2[:, None, :]).reshape(k, n).astype(jnp.bfloat16)
+
+
+def _plan_dequant_blocks(k: int, n: int, group_size: int):
+    """(bk, bn) for the int4 dequant-materialize grid, or None -> XLA.
+    bk must divide k, cover whole scale groups, and keep the packed block
+    sublane-aligned (bk/2 % 8 == 0 -> bk % 16); bn lane-aligned."""
+    import math as _math
+    step = group_size * 16 // _math.gcd(group_size, 16)   # lcm
+    if k % step:
+        return None
+    bk = k if k <= 1024 else _pick_bk(k, step, target=1024, cap=2048)
+    if bk is None or k % bk or bk % group_size:
+        return None
+    if n <= 512:
+        bn = n
+    else:
+        # largest divisor of n that's a multiple of 128 and <= 512 (ragged
+        # N blocks read unspecified input regions on hardware; never allow)
+        bn = None
+        for d in range(128, 513, 128):
+            if n % d == 0:
+                bn = d
+        if bn is None:
+            return None
+    return bk, bn
+
+
+def _dequant_int4_kernel(q_ref, s_ref, o_ref, *, group_size):
+    """One [bk, bn] output tile: hardware int4 unpack (bitcast), cast,
+    apply grouped scales, write bf16. Pure bandwidth: 0.5 B/elem read +
+    2 B/elem write."""
+    qb = q_ref[...]                                   # [bk/2, bn] packed
+    w = pltpu.bitcast(qb, jnp.int4)                   # [bk, bn] int4 view
+    sb = s_ref[...].reshape(-1, s_ref.shape[-1])      # [gb, bn]
+    bk, bn = w.shape
+    wf = w.astype(jnp.float32).reshape(bk // group_size, group_size, bn)
+    o_ref[...] = (wf * sb[:, None, :]).reshape(bk, bn).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group_size", "bk", "bn", "interpret"))
+def _dequant_int4_pallas(q2, sc2, group_size, bk, bn, interpret):
+    """Packed [k/2, n] int8 + grouped scales [k/group, n] -> bf16 [k, n]."""
+    k2, n = q2.shape
+    k = k2 * 2
+    gb = bk // group_size
+    sc3 = sc2.astype(jnp.float32).reshape(k // group_size, 1, n)
+    grid = (k // bk, cdiv(n, bn))
+    return pl.pallas_call(
+        functools.partial(_dequant_int4_kernel, group_size=group_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bk // 2, bn), lambda l, j: (l, j)),
+            pl.BlockSpec((gb, 1, bn), lambda l, j: (l, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bk, bn), lambda l, j: (l, j)),
+        out_shape=jax.ShapeDtypeStruct((k, n), jnp.bfloat16),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(q2, sc3)
 
 
 def _large_m_linear(x2, t: "QuantizedTensor", layer, out_dtype):
@@ -520,7 +600,7 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
         x2 = x.reshape(-1, k_in)
         m, n = x2.shape[0], t.q.shape[1]
 
-        if m >= _PREFILL_M and t.mode == "int8":
+        if m >= _PREFILL_M and _large_m_ok(t, kernels):
             y = _large_m_linear(x2, t, None, out_dtype).reshape(*lead, n)
         else:
             plan = _plan_blocks(m, n, k_in, t)
@@ -565,7 +645,7 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
     m = x2.shape[0]
     n = t.q.shape[-1]
 
-    if m >= _PREFILL_M and t.mode == "int8":
+    if m >= _PREFILL_M and _large_m_ok(t, kernels):
         y = _large_m_linear(x2, t, layer, out_dtype)
         y = y.reshape(*lead, (2 if structured else 1) * n)
         if bias is not None:

@@ -1,3 +1,4 @@
+from llm_inference_engine_tpu.utils.checks import assert_finite, nan_guard
 from llm_inference_engine_tpu.utils.common import (
     cdiv,
     round_up,
@@ -9,6 +10,8 @@ from llm_inference_engine_tpu.utils.common import (
 )
 
 __all__ = [
+    "assert_finite",
+    "nan_guard",
     "cdiv",
     "round_up",
     "use_pallas",

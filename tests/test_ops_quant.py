@@ -140,3 +140,33 @@ def test_quantized_linear_large_m_prefill_path(rng, mode, structured):
         want = np.asarray(quantized_linear_xla(jnp.asarray(x), t))
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 0.02, rel
+
+
+def test_dequant_int4_pallas_matches_golden(rng):
+    """The dequant-materialize kernel (large-m int4 prefill path) must
+    reproduce dequantize_tensor up to one bf16 rounding."""
+    from llm_inference_engine_tpu.ops.quant import (
+        _dequant_int4_pallas, _plan_dequant_blocks)
+    k, n, g = 512, 256, 128
+    w = (rng.normal(size=(k, n)) * 0.02).astype(np.float32)
+    t = quantize_tensor(jnp.asarray(w), "int4", g)
+    plan = _plan_dequant_blocks(k, n, g)
+    assert plan is not None
+    got = np.asarray(_dequant_int4_pallas(t.q, t.scale, g, *plan, True))
+    want = np.asarray(dequantize_tensor(t))
+    rel = np.abs(got.astype(np.float32) - want).max() / np.abs(want).max()
+    assert rel < 2 ** -8, rel
+
+
+def test_dequant_plan_shapes():
+    """Block plans for the real model contractions: blocks always DIVIDE
+    both dims (ragged blocks read unspecified memory on hardware)."""
+    from llm_inference_engine_tpu.ops.quant import _plan_dequant_blocks
+    for k, n in [(4096, 11008), (11008, 4096), (4096, 12288),
+                 (5120, 13824), (2048, 5632), (4096, 32000)]:
+        plan = _plan_dequant_blocks(k, n, 128)
+        assert plan is not None, (k, n)
+        bk, bn = plan
+        assert k % bk == 0 and n % bn == 0 and bk % 128 == 0, (k, n, plan)
+    # shapes the kernel must refuse (fall back to XLA unpack)
+    assert _plan_dequant_blocks(384 + 16, 128, 128) is None
