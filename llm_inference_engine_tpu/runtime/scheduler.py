@@ -44,6 +44,7 @@ class Request:
     finished: bool = False
     finish_reason: str = ""           # eos | length | capacity | rejected
     slot: int = -1
+    prefill_pos: Optional[int] = None  # mid-prefill progress (chunked admit)
 
 
 class ContinuousBatchingScheduler:
@@ -155,23 +156,70 @@ class ContinuousBatchingScheduler:
     # ------------------------------------------------------------------
 
     def step(self) -> list[Request]:
-        """Admit + one decode step. Returns requests finished this step."""
+        """One scheduler step. Returns requests finished this step.
+
+        When an admission (or a continuing chunked prefill) is in flight,
+        the step is a single MIXED ragged forward: admitted slots carry
+        their next prompt chunk (up to ``max_prefill_len`` tokens), live
+        slots carry their one pending decode token — so long prompts never
+        stall ongoing decodes (no head-of-line blocking; the chunked-
+        prefill regime). The attention kernel takes per-sequence
+        q_start/kv_len, so mixed lengths are native — there is no separate
+        "prefill program" and "decode program" to reconcile.
+
+        With no admission in flight the step is the pure decode path
+        (single-token fused write+attend kernel — faster than running
+        decode rows through the flash-prefill program at the bucketed
+        chunk width).
+        """
         before = [r for r in self.slots if r is not None]
         done: list[Request] = []
 
-        admitted = self._admit()
+        admitted = self._assign_slots()
+        for r in admitted:
+            r.prefill_pos = 0
+        if admitted:
+            self.engine.reset([r.slot for r in admitted])
         done += [r for r in admitted if r.finished]
 
-        active_mask = np.array([r is not None and not r.finished
-                                for r in self.slots], bool)
-        if active_mask.any():
-            nxt = np.asarray(self.engine.decode_step(
-                self._last_token, active_mask,
-                (self._temp, self._topk, self._topp)))
-            for slot in np.nonzero(active_mask)[0]:
-                req = self.slots[slot]
-                if req is not None:
-                    self._accept_token(req, int(nxt[slot]))
+        prefilling = [r for r in self.slots
+                      if r is not None and r.prefill_pos is not None]
+        if prefilling:
+            C = max(1, self.engine.engine_config.max_prefill_len)
+            chunks: list[list[int]] = []
+            call_slots: list[int] = []
+            decode_rows: list[Request] = []
+            for r in self.slots:
+                if r is None:
+                    continue
+                if r.prefill_pos is not None:
+                    chunk = r.prompt_ids[r.prefill_pos:r.prefill_pos + C]
+                    r.prefill_pos += len(chunk)
+                    chunks.append(chunk)
+                else:
+                    chunks.append([int(self._last_token[r.slot])])
+                    decode_rows.append(r)
+                call_slots.append(r.slot)
+            logits = self.engine.prefill(chunks, slots=call_slots)
+            nxt = np.asarray(self.engine.sample(
+                logits, self._temp, self._topk, self._topp))
+            for r in decode_rows:
+                self._accept_token(r, int(nxt[r.slot]))
+            for r in prefilling:
+                if r.prefill_pos >= len(r.prompt_ids):
+                    r.prefill_pos = None          # prompt fully consumed:
+                    self._accept_token(r, int(nxt[r.slot]))  # first token
+        else:
+            active_mask = np.array([r is not None and not r.finished
+                                    for r in self.slots], bool)
+            if active_mask.any():
+                nxt = np.asarray(self.engine.decode_step(
+                    self._last_token, active_mask,
+                    (self._temp, self._topk, self._topp)))
+                for slot in np.nonzero(active_mask)[0]:
+                    req = self.slots[slot]
+                    if req is not None:
+                        self._accept_token(req, int(nxt[slot]))
 
         done += [r for r in before + admitted
                  if r.finished and r not in done]

@@ -101,3 +101,35 @@ def test_capacity_finish():
     assert r.finish_reason == "capacity"
     # total tokens bounded by cache capacity
     assert len(r.prompt_ids) + len(r.output_ids) <= 15
+
+
+def test_chunked_admission_does_not_stall_decodes():
+    """A long prompt admits chunk-by-chunk in MIXED steps: the already-
+    decoding slot must gain one token per step throughout (no head-of-line
+    blocking), and the result must equal running the same request alone."""
+    eng = EngineConfig(max_batch_size=2, max_seq_len=96, kernels="xla",
+                       max_prefill_len=8)
+    engine = InferenceEngine(CFG, eng, init_dummy_params(CFG, seed=0))
+    sched = ContinuousBatchingScheduler(engine, eos_token_id=None)
+    sp = SamplingParams(greedy=True, max_new_tokens=12)
+
+    a = sched.submit([1, 2, 3], sp)
+    sched.step()                        # A prefills, gets first token
+    long_prompt = list(range(3, 3 + 28))  # 4 chunks of 8
+    b = sched.submit(long_prompt, sp)
+    grew = []
+    for _ in range(4):                  # B's chunked admission steps
+        n0 = len(a.output_ids)
+        sched.step()
+        grew.append(len(a.output_ids) - n0)
+    assert b.prefill_pos is None        # B finished prefilling
+    assert len(b.output_ids) == 1      # first token sampled on last chunk
+    assert grew == [1, 1, 1, 1]        # A advanced every mixed step
+    sched.run()
+
+    # same tokens as an uncontended run of the long request
+    engine2 = InferenceEngine(CFG, eng, init_dummy_params(CFG, seed=0))
+    solo = ContinuousBatchingScheduler(engine2, eos_token_id=None)
+    rb = solo.submit(long_prompt, sp)
+    solo.run()
+    assert rb.output_ids == b.output_ids
