@@ -142,9 +142,51 @@ class InferenceEngine:
                 body, (cache, tokens), None, length=num_steps)
             return all_toks, cache
 
+        max_room = eng.max_seq_len - 1
+
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("num_steps", "kv_hi"))
+        def _sampled_rollout(params, cache, tokens, key, temp, top_k, top_p,
+                             active0, stop_ids, limit, num_steps: int,
+                             kv_hi=None):
+            """Sampled multi-step decode fully on device: one host call for
+            up to ``num_steps`` tokens (vs the reference's per-token
+            D2H+H2D, llama.cpp:314,392). EOS/stop-id and cache-capacity
+            handling run in-graph; the while_loop exits as soon as every
+            row has stopped, so early EOS costs nothing. Inactive rows
+            emit -1. ``num_steps`` (static) sizes the output buffer;
+            ``limit`` (dynamic) caps the steps actually run, so one
+            compiled variant serves any max_new_tokens below the bucket."""
+            B = tokens.shape[0]
+            out0 = jnp.full((num_steps, B), -1, jnp.int32)
+
+            def cond(st):
+                i, cache, toks, key, act, out = st
+                return (i < limit) & act.any()
+
+            def body(st):
+                i, cache, toks, key, act, out = st
+                act = act & (cache.lengths < max_room)
+                q_start = cache.lengths
+                kv_len = q_start + act.astype(jnp.int32)
+                logits, cache = fwd(params, cache, toks[:, None], q_start,
+                                    kv_len, kv_hi)
+                key, sub = jax.random.split(key)
+                nxt = sample_tokens(logits, sub, temp, top_k, top_p)
+                nxt = jnp.where(act, nxt, toks)
+                out = out.at[i].set(jnp.where(act, nxt, -1))
+                stopped = (nxt[:, None] == stop_ids[None, :]).any(-1)
+                return (i + 1, cache, nxt, key, act & ~stopped, out)
+
+            _, cache, _, _, _, out = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), cache, tokens, key,
+                             active0, out0))
+            return out, cache
+
         self._prefill_fn = _prefill
         self._decode_fn = _decode_step
         self._rollout_fn = _decode_rollout
+        self._sampled_rollout_fn = _sampled_rollout
         self._sample_fn = _sample
 
     # ------------------------------------------------------------------
@@ -335,27 +377,52 @@ class InferenceEngine:
                     stream_callback(i, int(tok_host[i]))
 
         max_room = self.engine_config.max_seq_len - 1
-        for _ in range(sampling.max_new_tokens - 1):
-            if done.all():
-                break
-            active = ~done
-            lengths = np.asarray(self.cache.lengths)
-            room = lengths < max_room
-            active &= room
-            if not active.any():
-                break
-            tokens = self.decode_step(tokens, active, sampling)
-            tok_host = np.asarray(tokens)
-            for i in range(nseq):
-                if done[i] or not active[i]:
-                    continue
-                t = int(tok_host[i])
-                if t in stop_ids:
-                    done[i] = True
-                    continue
-                out[i].append(t)
-                if stream_callback:
-                    stream_callback(i, t)
+        steps = sampling.max_new_tokens - 1
+        if stream_callback is None and steps > 0 and not done.all():
+            # no streaming: whole tail in ONE device call (sampled rollout,
+            # device-side eos/capacity, early exit when all rows stop)
+            num_steps = _bucket_len(steps, floor=16)
+            kv_hi = self._kv_watermark(
+                np.asarray(jax.device_get(self.cache.lengths)), steps)
+            stop_arr = jnp.asarray(sorted(stop_ids) or [-2], jnp.int32)
+            temp, topk, topp = self._sampling_arrays(sampling)
+            self._key, sub = jax.random.split(self._key)
+            rolled, self.cache = self._sampled_rollout_fn(
+                self.params, self.cache, jnp.asarray(tokens), sub, temp,
+                topk, topp, jnp.asarray(~done), stop_arr,
+                jnp.int32(steps), num_steps=num_steps, kv_hi=kv_hi)
+            host = np.asarray(rolled)
+            for row in host:
+                for i in range(nseq):
+                    t = int(row[i])
+                    if done[i] or t < 0:
+                        continue
+                    if t in stop_ids:
+                        done[i] = True
+                    else:
+                        out[i].append(t)
+        else:
+            for _ in range(steps):
+                if done.all():
+                    break
+                active = ~done
+                lengths = np.asarray(self.cache.lengths)
+                room = lengths < max_room
+                active &= room
+                if not active.any():
+                    break
+                tokens = self.decode_step(tokens, active, sampling)
+                tok_host = np.asarray(tokens)
+                for i in range(nseq):
+                    if done[i] or not active[i]:
+                        continue
+                    t = int(tok_host[i])
+                    if t in stop_ids:
+                        done[i] = True
+                        continue
+                    out[i].append(t)
+                    if stream_callback:
+                        stream_callback(i, t)
 
         return GenerationResult(
             token_ids=out,

@@ -113,3 +113,46 @@ def test_chunked_prefill_matches_single_shot():
     single = logits_with(64)
     chunked = logits_with(8)
     np.testing.assert_allclose(chunked, single, atol=1e-4, rtol=1e-4)
+
+
+def _fresh_engine():
+    eng = EngineConfig(max_batch_size=2, max_seq_len=64, kernels="xla")
+    return InferenceEngine(CFG, eng, init_dummy_params(CFG, seed=0))
+
+
+def test_sampled_rollout_matches_streamed_loop_greedy():
+    """generate() without a stream_callback runs the one-call device
+    rollout; greedy results must equal the per-token streamed loop."""
+    engine = _fresh_engine()
+    sp = SamplingParams(greedy=True, max_new_tokens=9)
+    seen = []
+    r_loop = engine.generate([[1, 5, 9], [2, 4]], sp, eos_token_id=None,
+                             stream_callback=lambda i, t: seen.append((i, t)))
+    engine.reset()
+    r_roll = engine.generate([[1, 5, 9], [2, 4]], sp, eos_token_id=None)
+    assert r_roll.token_ids == r_loop.token_ids
+    assert seen  # the loop actually streamed
+
+
+def test_sampled_rollout_deterministic_and_stops():
+    """Same-seed engines produce identical sampled rollouts; stop ids
+    terminate rows device-side."""
+    a = _fresh_engine()
+    b = _fresh_engine()
+    sp = SamplingParams(temperature=0.8, top_k=5, max_new_tokens=12)
+    ra = a.generate([[3, 7]], sp, eos_token_id=None)
+    rb = b.generate([[3, 7]], sp, eos_token_id=None)
+    assert ra.token_ids == rb.token_ids
+    assert all(0 <= t for t in ra.token_ids[0])
+
+    # force an early stop: use the first sampled token as the stop id
+    c = _fresh_engine()
+    probe = c.generate([[3, 7]], sp, eos_token_id=None)
+    stop = probe.token_ids[0][1]
+    c.reset()
+    d = _fresh_engine()
+    r = d.generate([[3, 7]], SamplingParams(
+        temperature=0.8, top_k=5, max_new_tokens=12,
+        stop_token_ids=(stop,)), eos_token_id=None)
+    assert stop not in r.token_ids[0]
+    assert len(r.token_ids[0]) < 12
