@@ -45,47 +45,79 @@ class MultiHostScheduler(ContinuousBatchingScheduler):
     """ContinuousBatchingScheduler with every step gated on the cross-host
     StepPlan. See module docstring (shape 2)."""
 
-    def _admit(self) -> list[Request]:
-        admitted = self._assign_slots()
-
-        # lockstep point 1: agree on this step's prefill length bucket
-        # (0 on hosts with no admissions; the max drives every host) and
-        # the attention watermark — computed over the lengths the cache
-        # will have AFTER this admission's prefill, or a freshly admitted
-        # prompt longer than the pre-admission watermark would be silently
-        # truncated by the very next decode
-        local_len = max([len(r.prompt_ids) for r in admitted] or [0])
-        local_len = _bucket_len(local_len) if local_len else 0
-        projected = np.asarray(self.engine.cache.lengths).copy()
-        for r in admitted:
-            projected[r.slot] = len(r.prompt_ids)
-        local_kv_hi = self.engine._kv_watermark(projected, 1)
-        plan = agree_step_plan(local_len, local_kv_hi, self.has_work)
-        self._plan = plan
-
-        if plan.prefill_len == 0:
-            return []
-        # every host runs the same prefill program (padded to the agreed
-        # length, with the agreed watermark), with or without local
-        # admissions
-        self._prefill_admitted(admitted, pad_to=plan.prefill_len,
-                               kv_hi=plan.kv_hi)
-        return admitted
-
     def step(self) -> list[Request]:
+        """One lockstep step. Program choice is GLOBAL: the agreed plan
+        decides whether every host runs the mixed chunked-prefill program
+        (any host has a chunk in flight — local chunks pad to the agreed
+        bucket; hosts without admissions feed their live rows' pending
+        decode tokens as length-1 chunks, idle hosts all-zero rows) or the
+        pure single-token decode program. Exactly one jitted program per
+        step on every host — collectives stay aligned by construction."""
         before = [r for r in self.slots if r is not None]
         done: list[Request] = []
 
-        admitted = self._admit()
+        admitted = self._assign_slots()
+        for r in admitted:
+            r.prefill_pos = 0
+        if admitted:
+            self.engine.reset([r.slot for r in admitted])
         done += [r for r in admitted if r.finished]
 
-        active_mask = np.array([r is not None and not r.finished
-                                for r in self.slots], bool)
-        # lockstep point 2: decode runs on EVERY host with the agreed
-        # watermark while any host still has live slots (an idle host's
-        # all-false active mask makes its rows no-ops)
-        plan = self._plan
-        if plan.any_work:
+        C = max(1, self.engine.engine_config.max_prefill_len)
+        prefilling = [r for r in self.slots
+                      if r is not None and r.prefill_pos is not None]
+
+        # lockstep point: agree on this step's chunk-length bucket (0 on
+        # hosts with nothing mid-prefill; the max drives every host) and
+        # the attention watermark over the lengths the cache will have
+        # AFTER this step's writes (chunk for prefilling rows, +1 for
+        # decoding rows)
+        local_chunk = max([min(len(r.prompt_ids) - r.prefill_pos, C)
+                           for r in prefilling] or [0])
+        local_len = _bucket_len(local_chunk, cap=C) if local_chunk else 0
+        projected = np.asarray(self.engine.cache.lengths).copy()
+        for r in self.slots:
+            if r is None:
+                continue
+            if r.prefill_pos is not None:
+                projected[r.slot] += min(len(r.prompt_ids) - r.prefill_pos, C)
+            else:
+                projected[r.slot] += 1
+        local_kv_hi = self.engine._kv_watermark(projected, 0)
+        plan = agree_step_plan(local_len, local_kv_hi, self.has_work)
+        self._plan = plan
+        if not plan.any_work:
+            return done
+
+        if plan.prefill_len > 0:
+            chunks: list[list[int]] = []
+            call_slots: list[int] = []
+            decode_rows: list[Request] = []
+            for r in self.slots:
+                if r is None:
+                    continue
+                if r.prefill_pos is not None:
+                    chunk = r.prompt_ids[r.prefill_pos:r.prefill_pos + C]
+                    r.prefill_pos += len(chunk)
+                    chunks.append(chunk)
+                else:
+                    chunks.append([int(self._last_token[r.slot])])
+                    decode_rows.append(r)
+                call_slots.append(r.slot)
+            logits = self.engine.prefill(chunks, slots=call_slots,
+                                         pad_to=plan.prefill_len,
+                                         kv_hi=plan.kv_hi)
+            nxt = np.asarray(self.engine.sample(
+                logits, self._temp, self._topk, self._topp))
+            for r in decode_rows:
+                self._accept_token(r, int(nxt[r.slot]))
+            for r in prefilling:
+                if r.prefill_pos >= len(r.prompt_ids):
+                    r.prefill_pos = None
+                    self._accept_token(r, int(nxt[r.slot]))
+        else:
+            active_mask = np.array([r is not None and not r.finished
+                                    for r in self.slots], bool)
             nxt = np.asarray(self.engine.decode_step(
                 self._last_token, active_mask,
                 (self._temp, self._topk, self._topp),

@@ -110,29 +110,6 @@ class ContinuousBatchingScheduler:
             admitted.append(req)
         return admitted
 
-    def _prefill_admitted(self, admitted: list[Request],
-                          pad_to: int | None = None,
-                          kv_hi: int | None = None) -> None:
-        """Reset + prefill the admitted slots and accept their first
-        sampled tokens."""
-        if admitted:
-            self.engine.reset([r.slot for r in admitted])
-        logits = self.engine.prefill([r.prompt_ids for r in admitted],
-                                     slots=[r.slot for r in admitted],
-                                     pad_to=pad_to, kv_hi=kv_hi)
-        if admitted:
-            first = np.asarray(self.engine.sample(
-                logits, self._temp, self._topk, self._topp))
-            for req in admitted:
-                self._accept_token(req, int(first[req.slot]))
-
-    def _admit(self) -> list[Request]:
-        admitted = self._assign_slots()
-        if not admitted:
-            return []
-        self._prefill_admitted(admitted)
-        return admitted
-
     def _accept_token(self, req: Request, token: int) -> None:
         if token in self._stop_set(req):
             self._finish(req, "eos")

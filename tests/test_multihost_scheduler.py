@@ -110,3 +110,37 @@ def test_router_least_loaded_and_completion(rng):
 def test_router_rejects_empty():
     with pytest.raises(ValueError):
         RequestRouter([])
+
+
+def test_lockstep_chunked_admission_no_stall():
+    """Long prompts admit chunk-by-chunk in the lockstep scheduler; a live
+    decode slot advances every mixed step, and tokens match the plain
+    scheduler on the same engine shapes."""
+    eng_kwargs = dict(batch=2, seq=96)
+    lock = MultiHostScheduler(_engine(**eng_kwargs), eos_token_id=None)
+    lock.engine.engine_config = lock.engine.engine_config.replace(
+        max_prefill_len=8)
+    sp = SamplingParams(greedy=True, max_new_tokens=10)
+    a = lock.submit([1, 2, 3], sp)
+    lock.step()
+    long_prompt = list(range(3, 3 + 24))      # 3 chunks of 8
+    b = lock.submit(long_prompt, sp)
+    grew = []
+    for _ in range(3):
+        n0 = len(a.output_ids)
+        lock.step()
+        grew.append(len(a.output_ids) - n0)
+    assert grew == [1, 1, 1]
+    assert b.prefill_pos is None and len(b.output_ids) == 1
+    lock.run()
+
+    plain = ContinuousBatchingScheduler(_engine(**eng_kwargs),
+                                        eos_token_id=None)
+    plain.engine.engine_config = plain.engine.engine_config.replace(
+        max_prefill_len=8)
+    ra = plain.submit([1, 2, 3], sp)
+    plain.step()
+    rb = plain.submit(long_prompt, sp)
+    plain.run()
+    assert b.output_ids == rb.output_ids
+    assert a.output_ids == ra.output_ids
