@@ -1,3 +1,5 @@
 from llm_inference_engine_tpu.runtime.engine import InferenceEngine, GenerationResult
+from llm_inference_engine_tpu.runtime.prefix_cache import PrefixEntry, PrefixStore
 
-__all__ = ["InferenceEngine", "GenerationResult"]
+__all__ = ["InferenceEngine", "GenerationResult", "PrefixEntry",
+           "PrefixStore"]

@@ -1,0 +1,188 @@
+"""Prefix caching: reuse the KV cache of a shared prompt prefix.
+
+Capability beyond the reference (which recomputes the full accumulated
+history every round and serves one request at a time, llama.cpp:137-155,
+llama.h:31): a prefix shared by many requests — the classic system prompt —
+is prefilled ONCE, its KV rows are snapshotted off the cache, and every
+later request that starts with those tokens restores the snapshot into its
+slot and prefills only the tail. TTFT for a request with an S-token shared
+prefix and a t-token tail drops from prefill(S + t) to one device-side
+copy of S rows + prefill(t).
+
+TPU design notes:
+- Snapshots hold STORAGE-form rows ([L, Tpad, Kst, D] in the cache dtype,
+  plus separate scale planes when the int8 cache keeps them), so restore
+  is an exact byte copy — no dequant/requant round trip, identical logits
+  to recomputing the prefix (pinned by tests/test_prefix_cache.py).
+- Restore is one jitted donated dynamic_update_slice program per
+  Tpad bucket (lengths round up to RESTORE_BUCKET to bound retraces);
+  the slot index is traced, so one program serves every slot.
+- The store is host-side bookkeeping over device-resident snapshots with
+  an LRU token budget; match() picks the longest registered prefix.
+
+The single-host continuous-batching scheduler consults the store at
+admission (scheduler.py). The multi-host lockstep scheduler does NOT —
+restore is a per-host program launch, and hosts without a local match
+would fall out of lockstep; routing-based (DP) deployments get it via
+their per-host schedulers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import OrderedDict
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_engine_tpu.utils import round_up
+
+__all__ = ["PrefixEntry", "PrefixStore", "RESTORE_BUCKET"]
+
+RESTORE_BUCKET = 64   # snapshot lengths round up to this (bounds the number
+                      # of compiled restore variants to max_seq/bucket)
+
+
+@dataclasses.dataclass
+class PrefixEntry:
+    """Device-resident KV snapshot of one registered prefix."""
+    tokens: tuple[int, ...]
+    length: int                       # true token count (<= k.shape[1])
+    k: jax.Array                      # [L, Tpad, Kst, D] storage dtype
+    v: jax.Array
+    k_scale: Optional[jax.Array]      # [L, Tpad, K] when separate-scale int8
+    v_scale: Optional[jax.Array]
+
+    @property
+    def padded_length(self) -> int:
+        return self.k.shape[1]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("with_scales",))
+def _restore_kv(k, v, k_scale, v_scale, pk, pv, pks, pvs, slot, plen,
+                lengths, with_scales=False):
+    """Write snapshot rows into one slot of the stacked cache (exact
+    storage-form copy) and set that slot's length. Donated in/out."""
+    slot = jnp.asarray(slot, jnp.int32)
+    zero = jnp.int32(0)
+    k = jax.lax.dynamic_update_slice(k, pk[:, None], (zero, slot, zero,
+                                                      zero, zero))
+    v = jax.lax.dynamic_update_slice(v, pv[:, None], (zero, slot, zero,
+                                                      zero, zero))
+    lengths = lengths.at[slot].set(jnp.asarray(plen, lengths.dtype))
+    if with_scales:
+        k_scale = jax.lax.dynamic_update_slice(
+            k_scale, pks[:, None], (zero, slot, zero, zero))
+        v_scale = jax.lax.dynamic_update_slice(
+            v_scale, pvs[:, None], (zero, slot, zero, zero))
+    return k, v, k_scale, v_scale, lengths
+
+
+def snapshot_prefix(cache, slot: int, length: int) -> PrefixEntry:
+    """Slice ``length`` KV rows of ``slot`` out of the cache in storage
+    form. The pad rows up to RESTORE_BUCKET carry whatever the cache held
+    (they restore beyond the entry's valid length and are never attended,
+    exactly like a slot's own unwritten tail)."""
+    tpad = min(round_up(max(length, 1), RESTORE_BUCKET), cache.max_seq_len)
+    k = cache.k[:, slot, :tpad]
+    v = cache.v[:, slot, :tpad]
+    ks = vs = None
+    if cache.k_scale is not None:
+        ks = cache.k_scale[:, slot, :tpad]
+        vs = cache.v_scale[:, slot, :tpad]
+    return PrefixEntry(tokens=(), length=length, k=k, v=v,
+                       k_scale=ks, v_scale=vs)
+
+
+def restore_prefix(cache, slot: int, entry: PrefixEntry):
+    """Return a cache with ``entry``'s rows copied into ``slot`` and the
+    slot's length set to the prefix length."""
+    with_scales = entry.k_scale is not None
+    k, v, ks, vs, lengths = _restore_kv(
+        cache.k, cache.v, cache.k_scale, cache.v_scale,
+        entry.k, entry.v, entry.k_scale, entry.v_scale,
+        slot, entry.length, cache.lengths, with_scales=with_scales)
+    if not with_scales:
+        ks, vs = cache.k_scale, cache.v_scale
+    return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs,
+                               lengths=lengths)
+
+
+class PrefixStore:
+    """LRU store of prefix KV snapshots for one engine.
+
+    ``max_tokens`` bounds the device memory held by snapshots (in KV rows
+    across all entries); registering past the budget evicts least-recently
+    matched entries.
+    """
+
+    def __init__(self, engine, max_tokens: int = 16384):
+        self.engine = engine
+        self.max_tokens = max_tokens
+        self._entries: OrderedDict[tuple, PrefixEntry] = OrderedDict()
+
+    # -- bookkeeping ----------------------------------------------------
+
+    @property
+    def stored_tokens(self) -> int:
+        return sum(e.padded_length for e in self._entries.values())
+
+    def _evict_to_fit(self, incoming: int) -> None:
+        while (self._entries
+               and self.stored_tokens + incoming > self.max_tokens):
+            self._entries.popitem(last=False)
+
+    def evict(self, tokens: Sequence[int]) -> bool:
+        return self._entries.pop(tuple(tokens), None) is not None
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    # -- core API --------------------------------------------------------
+
+    def register(self, tokens: Sequence[int], slot: int = 0) -> PrefixEntry:
+        """Prefill ``tokens`` through the engine (scratch ``slot``, which
+        must not hold a live request), snapshot the KV rows, and reset the
+        slot. Idempotent per token sequence."""
+        key = tuple(int(t) for t in tokens)
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            return self._entries[key]
+        if not key:
+            raise ValueError("empty prefix")
+        if len(key) >= self.engine.engine_config.max_seq_len:
+            raise ValueError(
+                f"prefix of {len(key)} tokens >= max_seq_len "
+                f"{self.engine.engine_config.max_seq_len}")
+        eng = self.engine
+        eng.reset([slot])
+        eng.prefill([list(key)], slots=[slot])
+        entry = snapshot_prefix(eng.cache, slot, len(key))
+        entry = dataclasses.replace(entry, tokens=key)
+        eng.reset([slot])
+        self._evict_to_fit(entry.padded_length)
+        self._entries[key] = entry
+        return entry
+
+    def match(self, prompt: Sequence[int]) -> Optional[PrefixEntry]:
+        """Longest registered prefix that strictly prefixes ``prompt``
+        (strict: at least one tail token must remain to produce the
+        first-sample logits)."""
+        best = None
+        for key, entry in self._entries.items():
+            if (len(key) < len(prompt)
+                    and (best is None or len(key) > len(best.tokens))
+                    and tuple(prompt[:len(key)]) == key):
+                best = entry
+        if best is not None:
+            self._entries.move_to_end(best.tokens)
+        return best
+
+    def restore(self, slot: int, entry: PrefixEntry) -> int:
+        """Copy ``entry`` into ``slot`` on the engine; returns the number
+        of prompt tokens the caller may skip."""
+        self.engine.cache = restore_prefix(self.engine.cache, slot, entry)
+        return entry.length

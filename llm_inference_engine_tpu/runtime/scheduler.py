@@ -45,12 +45,15 @@ class Request:
     finish_reason: str = ""           # eos | length | capacity | rejected
     slot: int = -1
     prefill_pos: Optional[int] = None  # mid-prefill progress (chunked admit)
+    reused_prefix_len: int = 0         # prompt tokens served from PrefixStore
 
 
 class ContinuousBatchingScheduler:
-    def __init__(self, engine, eos_token_id: Optional[int] = 2):
+    def __init__(self, engine, eos_token_id: Optional[int] = 2,
+                 prefix_store=None):
         self.engine = engine
         self.eos_token_id = eos_token_id
+        self.prefix_store = prefix_store
         self.B = engine.engine_config.max_batch_size
         self.max_seq = engine.engine_config.max_seq_len
         self.waiting: deque[Request] = deque()
@@ -110,6 +113,19 @@ class ContinuousBatchingScheduler:
             admitted.append(req)
         return admitted
 
+    def register_prefix(self, tokens: Sequence[int]):
+        """Prefill + snapshot a shared prompt prefix (e.g. the system
+        prompt) so later submissions starting with it skip its prefill.
+        Creates the PrefixStore on first use; needs one currently-free
+        slot as scratch."""
+        if self.prefix_store is None:
+            from llm_inference_engine_tpu.runtime.prefix_cache import PrefixStore
+            self.prefix_store = PrefixStore(self.engine)
+        free = [i for i, r in enumerate(self.slots) if r is None]
+        if not free:
+            raise RuntimeError("no free slot to register a prefix on")
+        return self.prefix_store.register(tokens, slot=free[0])
+
     def _accept_token(self, req: Request, token: int) -> None:
         if token in self._stop_set(req):
             self._finish(req, "eos")
@@ -157,6 +173,15 @@ class ContinuousBatchingScheduler:
             r.prefill_pos = 0
         if admitted:
             self.engine.reset([r.slot for r in admitted])
+            if self.prefix_store is not None:
+                # shared-prefix reuse: restore the snapshot's KV rows into
+                # the slot and prefill only the tail (prefix_cache.py)
+                for r in admitted:
+                    entry = self.prefix_store.match(r.prompt_ids)
+                    if entry is not None:
+                        r.prefill_pos = self.prefix_store.restore(r.slot,
+                                                                  entry)
+                        r.reused_prefix_len = entry.length
         done += [r for r in admitted if r.finished]
 
         prefilling = [r for r in self.slots
