@@ -59,6 +59,12 @@ class ModelConfig:
     rope_scaling: Optional[float] = None  # linear position scale (dynamic NTK hook)
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False
+    attention_bias: bool = False          # qkv projection bias (Qwen2-class;
+                                          # the reference's QKV+RoPE kernel
+                                          # carried an — unused — bias input,
+                                          # qkv_bias_and_rope.cu:97)
+    sliding_window: Optional[int] = None  # sliding-window attention width
+                                          # (Mistral-class); None = full causal
     dtype_name: str = "bfloat16"  # parameter / activation dtype
 
     @property
@@ -124,8 +130,16 @@ class ModelConfig:
         kw: dict[str, Any] = {}
         for k, v in raw.items():
             k = alias.get(k, k)
-            if k in fields:
-                kw[k] = v
+            if k in fields and v is not None:   # HF configs carry explicit
+                kw[k] = v                       # None for derived fields
+        if "head_dim" not in kw and {"hidden_size", "num_heads"} <= set(kw):
+            kw["head_dim"] = kw["hidden_size"] // kw["num_heads"]
+        # HF quirks: Qwen2 configs carry sliding_window but gate it off by
+        # default, and mark their qkv bias only via model_type
+        if raw.get("use_sliding_window") is False:
+            kw.pop("sliding_window", None)
+        if raw.get("model_type") == "qwen2":
+            kw.setdefault("attention_bias", True)
         cfg = ModelConfig(**kw)
         # The reference's own config carries hidden_units=128 (wrong) and the
         # code recomputes hidden = head_num * head_size (llama.h:106). Apply the
@@ -217,6 +231,18 @@ PRESETS: dict[str, ModelConfig] = {
         name="llama3-8b", vocab_size=128256, hidden_size=4096,
         intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
         head_dim=128, rope_theta=500000.0, max_position_embeddings=8192,
+    ),
+    "mistral-7b": ModelConfig(
+        name="mistral-7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=1000000.0, max_position_embeddings=32768,
+        sliding_window=4096,
+    ),
+    "qwen2-7b": ModelConfig(
+        name="qwen2-7b", vocab_size=152064, hidden_size=3584,
+        intermediate_size=18944, num_layers=28, num_heads=28, num_kv_heads=4,
+        head_dim=128, rope_theta=1000000.0, max_position_embeddings=32768,
+        attention_bias=True,
     ),
     # tiny debug model for tests (CPU-friendly)
     "debug": ModelConfig(

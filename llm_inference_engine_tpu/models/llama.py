@@ -87,8 +87,13 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
     # copies input to a residual buffer, rmsnorm.cu:55 — functionally free here)
     h_norm = rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps, kernels=kernels)
 
-    # fused QKV projection (packed, layer_weights.cpp:28)
+    # fused QKV projection (packed, layer_weights.cpp:28); Qwen2-class
+    # models add the packed qkv bias here (the reference's QKV+RoPE kernel
+    # accepted a bias it never used for Llama, qkv_bias_and_rope.cu:97 —
+    # XLA fuses the add into the matmul epilogue)
     qkv = lin("wqkv", h_norm)
+    if "bqkv" in layer:
+        qkv = qkv + layer["bqkv"].astype(qkv.dtype)
     q, k_new, v_new = split_qkv_rope(
         qkv, positions, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
         cfg.rope_theta, cfg.rope_scaling, kernels=kernels)
@@ -125,7 +130,7 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         attn_out, ck, cv = attention_decode_fused_mxu(
             q, kn, vn, cache.k, cache.v, q_start, kv_len, layer_idx,
             sm_scale=sm_scale, block_kv=eng.decode_block_kv, kv_hi=kv_hi,
-            embedded=cache.embedded_scales)
+            embedded=cache.embedded_scales, window=cfg.sliding_window)
         cache = dataclasses.replace(cache, k=ck, v=cv)
     else:
         # write before attend (decoder_self_attention.cu:126,172 semantics)
@@ -139,7 +144,8 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
                              block_kv=bkv, kernels=kernels,
                              k_scale=cache.k_scale, v_scale=cache.v_scale,
                              layer=layer_idx, kv_hi=kv_hi,
-                             embedded_kv=cache.embedded_scales)
+                             embedded_kv=cache.embedded_scales,
+                             window=cfg.sliding_window)
     if padded:
         attn_out = attn_out.reshape(B, T, Kc, G, Dc)[:, :, :K, :, :D]
     attn_out = attn_out.reshape(B, T, cfg.q_size)

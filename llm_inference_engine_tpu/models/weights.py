@@ -102,6 +102,9 @@ def init_dummy_params(config: ModelConfig, seed: int = 0,
         "final_norm": norm_init((Hd,)),
         "lm_head": w_init(ks[5], (Hd, config.vocab_size)),
     }
+    if config.attention_bias:
+        params["layers"]["bqkv"] = w_init(
+            jax.random.split(key, 7)[6], (L, config.qkv_size))
     return params
 
 
@@ -139,20 +142,24 @@ def init_dummy_quantized_params(config: ModelConfig, mode: str = "int8",
         return QuantizedTensor(q=jnp.stack(qs), scale=jnp.stack(ss),
                                mode=mode, group_size=group_size)
 
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 7)
     dtype = config.dtype
     lm_q, lm_s = qdummy(ks[5], Hd, (config.vocab_size,))
+    layers = {
+        "attn_norm": jnp.ones((L, Hd), dtype),
+        "wqkv": qstack(ks[1], Hd, (config.qkv_size,)),
+        "wo": qstack(ks[2], config.q_size, (Hd,)),
+        "ffn_norm": jnp.ones((L, Hd), dtype),
+        "w_gate_up": qstack(ks[3], Hd, (2, config.intermediate_size)),
+        "w_down": qstack(ks[4], config.intermediate_size, (Hd,)),
+    }
+    if config.attention_bias:   # bias stays unquantized (tiny)
+        layers["bqkv"] = (jax.random.normal(
+            ks[6], (L, config.qkv_size), jnp.float32) * scale).astype(dtype)
     return {
         "embed": (jax.random.normal(ks[0], (config.vocab_size, Hd),
                                     jnp.float32) * scale).astype(dtype),
-        "layers": {
-            "attn_norm": jnp.ones((L, Hd), dtype),
-            "wqkv": qstack(ks[1], Hd, (config.qkv_size,)),
-            "wo": qstack(ks[2], config.q_size, (Hd,)),
-            "ffn_norm": jnp.ones((L, Hd), dtype),
-            "w_gate_up": qstack(ks[3], Hd, (2, config.intermediate_size)),
-            "w_down": qstack(ks[4], config.intermediate_size, (Hd,)),
-        },
+        "layers": layers,
         "final_norm": jnp.ones((Hd,), dtype),
         "lm_head": QuantizedTensor(q=lm_q, scale=lm_s, mode=mode,
                                    group_size=group_size),
@@ -333,6 +340,8 @@ def load_hf_safetensors(config: ModelConfig, path: str,
 
     L = config.num_layers
     wqkv, wo, wgu, wdn, anorm, fnorm = [], [], [], [], [], []
+    bqkv = []
+    has_bias = "model.layers.0.self_attn.q_proj.bias" in names
     for l in range(L):
         p = f"model.layers.{l}."
         q = linear_w(p + "self_attn.q_proj.weight")
@@ -340,6 +349,13 @@ def load_hf_safetensors(config: ModelConfig, path: str,
         v = linear_w(p + "self_attn.v_proj.weight")
         wqkv.append(fuse_qkv(q, k, v, config.num_heads, config.num_kv_heads,
                              config.head_dim))
+        if has_bias:
+            # Qwen2-class qkv bias, packed with the same group-major fusion
+            bqkv.append(fuse_qkv(
+                get(p + "self_attn.q_proj.bias")[None],
+                get(p + "self_attn.k_proj.bias")[None],
+                get(p + "self_attn.v_proj.bias")[None],
+                config.num_heads, config.num_kv_heads, config.head_dim)[0])
         wo.append(linear_w(p + "self_attn.o_proj.weight"))
         g = linear_w(p + "mlp.gate_proj.weight")
         u = linear_w(p + "mlp.up_proj.weight")
@@ -357,16 +373,19 @@ def load_hf_safetensors(config: ModelConfig, path: str,
     def dev(x):
         return jnp.asarray(np.stack(x) if isinstance(x, list) else x, dtype)
 
+    layers = {
+        "attn_norm": dev(anorm),
+        "wqkv": dev(wqkv),
+        "wo": dev(wo),
+        "ffn_norm": dev(fnorm),
+        "w_gate_up": dev(wgu),
+        "w_down": dev(wdn),
+    }
+    if has_bias:
+        layers["bqkv"] = dev(bqkv)
     return {
         "embed": dev(embed),
-        "layers": {
-            "attn_norm": dev(anorm),
-            "wqkv": dev(wqkv),
-            "wo": dev(wo),
-            "ffn_norm": dev(fnorm),
-            "w_gate_up": dev(wgu),
-            "w_down": dev(wdn),
-        },
+        "layers": layers,
         "final_norm": dev(get("model.norm.weight")),
         "lm_head": dev(lm_head),
     }

@@ -64,7 +64,8 @@ _NEG_INF = -1e30
 
 def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
                   sm_scale: float | None = None, k_scale=None, v_scale=None,
-                  layer=None, embedded_kv: bool = False):
+                  layer=None, embedded_kv: bool = False,
+                  window: int | None = None):
     """Dense-masked attention (golden reference; O(Sq*Skv) memory).
 
     q:       [B, Sq, H, D]
@@ -112,6 +113,9 @@ def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
     valid = j < kv_len[:, None, None]                           # [B, 1, Skv]
     if causal:
         valid = valid & (j <= q_pos[:, :, None])                # [B, Sq, Skv]
+        if window is not None:
+            # sliding window: key j visible to query p iff p-W < j <= p
+            valid = valid & (j > q_pos[:, :, None] - window)
     else:
         valid = jnp.broadcast_to(valid, (B, Sq, Skv))
     s = jnp.where(valid[:, None, None, :, :], s, _NEG_INF)
@@ -131,7 +135,7 @@ def attention_xla(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
 def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                  o_ref, m_ref, l_ref, acc_ref, *, sm_scale, block_q,
                  block_kv, group, causal, num_kv_blocks, kv_lead,
-                 embedded=False):
+                 embedded=False, window=None):
     """One (batch, q-block, kv-block) step over all K kv heads.
 
     q block:   [K, bq, D] (bq query rows per head; row r = i*G + g)
@@ -159,6 +163,11 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     needed = kv_block_start < kv_len
     if causal:
         needed = jnp.logical_and(needed, kv_block_start <= last_q_pos)
+    if window is not None:
+        # skip kv blocks entirely below every q row's window
+        first_q_pos = q_start + (iq * block_q) // group
+        needed = jnp.logical_and(
+            needed, kv_block_start + block_kv > first_q_pos - window + 1)
 
     # Sq == 1 MHA decode (one q row per kv head): pure-VPU matvec path.
     # (GQA decode, group > 1, takes the MXU path below — its G-row blocks
@@ -200,6 +209,8 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             cols1 = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0)
                      + kv_block_start)                # [bk, 1]
             mask1 = cols1 < kv_len                    # decode: causal implied
+            if window is not None:                    # q_pos == kv_len - 1
+                mask1 = jnp.logical_and(mask1, cols1 > kv_len - 1 - window)
             m_prev = m_ref[:]                         # [K, 1]
             l_prev = l_ref[:]
             s = jnp.sum(kf * q[None, :, :], axis=2) * sm_scale
@@ -238,6 +249,8 @@ def _attn_kernel(qs_ref, kl_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         mask = cols < kv_len
         if causal:
             mask = jnp.logical_and(mask, cols <= q_pos)
+        if window is not None:
+            mask = jnp.logical_and(mask, cols > q_pos - window)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_ref[:]                             # [K, bq]
@@ -343,7 +356,7 @@ def _diag_extract(acc, Kst: int, group: int, D: int):
 def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
                        vs_ref, o_ref, qd_ref, m_ref, l_ref, acc_ref, *,
                        sm_scale, block_kv, num_kv_blocks, K, group,
-                       embedded):
+                       embedded, window=None):
     b = pl.program_id(0)
     ikv = pl.program_id(1)
     kv_len = kl_ref[b]
@@ -359,8 +372,12 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
         qd_ref[:] = _block_diag_q(q_ref[0], Kst, group, qd_ref.dtype)
 
     start = ikv * block_kv
+    needed = start < kv_len
+    if window is not None:       # decode q_pos == kv_len - 1: skip blocks
+        needed = jnp.logical_and(  # entirely below the window
+            needed, start + block_kv > kv_len - window)
 
-    @pl.when(start < kv_len)
+    @pl.when(needed)
     def _compute():
         kblk = k_ref[0, 0] if k_ref.ndim == 5 else k_ref[0]   # [bk, Kst, D]
         vblk = v_ref[0, 0] if v_ref.ndim == 5 else v_ref[0]
@@ -383,6 +400,8 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
             s = s * _expand_group_scales(ks1, K, group)  # k dequant on scores
         cols = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + start)
         mask = cols < kv_len
+        if window is not None:
+            mask = jnp.logical_and(mask, cols > kv_len - 1 - window)
         s = jnp.where(mask, s, _NEG_INF)
         m_prev, l_prev = m_ref[:], l_ref[:]      # [H, 1]
         m_curr = jnp.max(s, axis=0)[:, None]
@@ -410,10 +429,11 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_kv", "interpret", "kv_hi",
-                     "embedded"))
+                     "embedded", "window"))
 def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
                           block_kv, interpret, k_scale=None, v_scale=None,
-                          layer=None, kv_hi=None, embedded=False):
+                          layer=None, kv_hi=None, embedded=False,
+                          window=None):
     """q: [B, 1, H, D]; caches [(L,) B, S, Kst, D]. Attend-only (the cache
     must already hold the current token). Returns [B, 1, H, D]."""
     B, _, H, D = q.shape
@@ -433,7 +453,14 @@ def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
 
     def clamp_j(j, kl_ref, b):
         last = jnp.maximum((kl_ref[b] + bk - 1) // bk - 1, 0)
-        return jnp.minimum(j, last)
+        j = jnp.minimum(j, last)
+        if window is not None:
+            # also clamp UP to the first in-window block: consecutive
+            # identical indices skip the DMA, so history below the sliding
+            # window is never streamed from HBM
+            lo = jnp.maximum((kl_ref[b] - window) // bk, 0)
+            j = jnp.maximum(j, jnp.minimum(lo, last))
+        return j
 
     if layered:
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
@@ -465,7 +492,7 @@ def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
     KDst = Kst * D
     kern_base = functools.partial(
         _decode_mxu_kernel, sm_scale=sm_scale, block_kv=bk,
-        num_kv_blocks=nkv, K=K, group=G, embedded=embedded)
+        num_kv_blocks=nkv, K=K, group=G, embedded=embedded, window=window)
     if quant:
         kern = (lambda qs, kl, ly, qq, k, v, ks, vs, o, qd, m, l, acc:
                 kern_base(qs, kl, ly, qq, k, v, ks, vs, o, qd, m, l, acc)) \
@@ -514,7 +541,7 @@ def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
                              vnew_ref, k_ref, v_ref, o_ref, kout_ref,
                              vout_ref, qd_ref, m_ref, l_ref, acc_ref, sem, *,
                              sm_scale, block_kv, num_kv_blocks, K, group,
-                             embedded):
+                             embedded, window=None):
     """MXU block-diagonal decode + in-kernel cache write (aliased DMA).
 
     Same compute as _decode_mxu_kernel over the history blocks; the new
@@ -552,8 +579,11 @@ def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
 
     start = ikv * block_kv
     hist_lim = jnp.minimum(hist, kv_len)
+    needed = start < hist_lim
+    if window is not None:       # q_pos == kv_len - 1
+        needed = jnp.logical_and(needed, start + block_kv > kv_len - window)
 
-    @pl.when(start < hist_lim)
+    @pl.when(needed)
     def _compute():
         k2 = k_ref[0, 0].reshape(block_kv, KDst)
         v2 = v_ref[0, 0].reshape(block_kv, KDst)
@@ -568,6 +598,8 @@ def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
             s = s * ks1
         cols = (jax.lax.broadcasted_iota(jnp.int32, (block_kv, 1), 0) + start)
         mask = cols < hist_lim
+        if window is not None:
+            mask = jnp.logical_and(mask, cols > kv_len - 1 - window)
         s = jnp.where(mask, s, _NEG_INF)
         m_prev, l_prev = m_ref[:], l_ref[:]
         m_curr = jnp.max(s, axis=0)[:, None]
@@ -629,10 +661,11 @@ def _decode_fused_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, knew_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_kv", "kv_hi", "embedded"))
+    jax.jit, static_argnames=("sm_scale", "block_kv", "kv_hi", "embedded",
+                              "window"))
 def _attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
                                 kv_len, layer, sm_scale, block_kv,
-                                kv_hi=None, embedded=False):
+                                kv_hi=None, embedded=False, window=None):
     """q: [B, 1, H, D]; k_new/v_new in STORAGE form [B, 1, Kst, D] (bf16,
     or packed int8 with embedded scale rows); caches [L, B, S, Kst, D].
     Returns (out [B, 1, H, D], k_cache, v_cache) with the caches updated
@@ -649,7 +682,11 @@ def _attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
 
     def clamp_j(j, kl_ref, b):
         last = jnp.maximum((kl_ref[b] + bk - 1) // bk - 1, 0)
-        return jnp.minimum(j, last)
+        j = jnp.minimum(j, last)
+        if window is not None:   # below-window blocks: clamp up, skip DMA
+            lo = jnp.maximum((kl_ref[b] - window) // bk, 0)
+            j = jnp.maximum(j, jnp.minimum(lo, last))
+        return j
 
     kv_ix = lambda b, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -679,7 +716,7 @@ def _attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
     )
     kern = functools.partial(
         _decode_fused_mxu_kernel, sm_scale=sm_scale, block_kv=bk,
-        num_kv_blocks=nkv, K=K, group=G, embedded=embedded)
+        num_kv_blocks=nkv, K=K, group=G, embedded=embedded, window=window)
     # flat operands: qs, kl, ly, q, knew, vnew, k, v -> caches at 6, 7
     out, kc, vc = pl.pallas_call(
         kern,
@@ -701,7 +738,8 @@ def _attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
 def attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
                                kv_len, layer, *, sm_scale=None,
                                block_kv: int = 128, kv_hi: int | None = None,
-                               embedded: bool = False):
+                               embedded: bool = False,
+                               window: int | None = None):
     """Fused MXU decode write+attend for the stacked cache (bf16 or
     embedded-int8 storage; k_new/v_new already in storage form). See
     _decode_fused_mxu_kernel."""
@@ -709,7 +747,8 @@ def attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
     return _attention_decode_fused_mxu(
         q, k_new, v_new, k_cache, v_cache,
         q_start.astype(jnp.int32), kv_len.astype(jnp.int32), layer,
-        float(scale), block_kv, kv_hi=kv_hi, embedded=embedded)
+        float(scale), block_kv, kv_hi=kv_hi, embedded=embedded,
+        window=window)
 
 
 def can_fuse_decode_mxu(q_shape, cache, kernels: str) -> bool:
@@ -746,10 +785,11 @@ def _mk_kernel(quant, layered, **kw):
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_kv", "interpret",
-                     "kv_hi", "embedded"))
+                     "kv_hi", "embedded", "window"))
 def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
                       block_q, block_kv, interpret, k_scale=None,
-                      v_scale=None, layer=None, kv_hi=None, embedded=False):
+                      v_scale=None, layer=None, kv_hi=None, embedded=False,
+                      window=None):
     B, Sq, H, D = q.shape
     layered = layer is not None
     Skv, Kst = (k_cache.shape[2], k_cache.shape[3]) if layered else \
@@ -822,7 +862,8 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
     )
     kern = _mk_kernel(quant, layered, sm_scale=sm_scale, block_q=bq,
                       block_kv=bk, group=G, causal=causal, num_kv_blocks=nkv,
-                      kv_lead=2 if layered else 1, embedded=embedded)
+                      kv_lead=2 if layered else 1, embedded=embedded,
+                      window=window)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -838,7 +879,7 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
               sm_scale: float | None = None, block_q: int = 128,
               block_kv: int = 128, kernels: str = "auto", k_scale=None,
               v_scale=None, layer=None, kv_hi: int | None = None,
-              embedded_kv: bool = False):
+              embedded_kv: bool = False, window: int | None = None):
     """Flash attention of q against the (already updated) KV cache.
 
     See attention_xla for shapes (token-major [.., Skv, K, D] cache).
@@ -854,7 +895,7 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
         return attention_xla(q, k_cache, v_cache, q_start, kv_len,
                              causal=causal, sm_scale=sm_scale,
                              k_scale=k_scale, v_scale=v_scale, layer=layer,
-                             embedded_kv=embedded_kv)
+                             embedded_kv=embedded_kv, window=window)
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
     if causal and can_decode_mxu(q.shape, k_cache.shape[-2], k_cache.shape[-1]):
         # Sq == 1: MXU block-diagonal decode (all cache variants, any GQA
@@ -864,10 +905,10 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
             q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
             float(scale), block_kv, pallas_interpret(),
             k_scale=k_scale, v_scale=v_scale, layer=layer, kv_hi=kv_hi,
-            embedded=embedded_kv)
+            embedded=embedded_kv, window=window)
     return _attention_pallas(
         q, k_cache, v_cache,
         q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
         causal, float(scale), block_q, block_kv, pallas_interpret(),
         k_scale=k_scale, v_scale=v_scale, layer=layer, kv_hi=kv_hi,
-        embedded=embedded_kv)
+        embedded=embedded_kv, window=window)

@@ -61,6 +61,7 @@ def param_pspecs(params) -> dict:
         lead = (None,) if leading_l else ()
         table = {
             "wqkv": P(*lead, None, MODEL_AXIS),
+            "bqkv": P(*lead, MODEL_AXIS),     # follows wqkv's out sharding
             "wo": P(*lead, MODEL_AXIS, None),
             "w_gate_up": P(*lead, None, None, MODEL_AXIS),
             "w_down": P(*lead, MODEL_AXIS, None),
