@@ -21,9 +21,22 @@ __all__ = [
     "ModelConfig",
     "EngineConfig",
     "SamplingParams",
+    "RopeScaling",
     "PRESETS",
     "get_config",
 ]
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """Llama-3.1-style frequency-dependent RoPE scaling (HF rope_type
+    "llama3"): low-frequency bands are slowed by ``factor``, high-frequency
+    bands kept, with a smooth ramp between — a per-inv-freq transform, so
+    it is a static, hashable jit constant like everything else here."""
+    factor: float = 8.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
 
 
 def _dtype_from_str(name: str):
@@ -56,7 +69,9 @@ class ModelConfig:
     head_dim: int = 128
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
-    rope_scaling: Optional[float] = None  # linear position scale (dynamic NTK hook)
+    # float = linear position scale; RopeScaling = llama3-style
+    # frequency-dependent scaling; None = unscaled
+    rope_scaling: Optional[Any] = None
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False
     attention_bias: bool = False          # qkv projection bias (Qwen2-class;
@@ -134,6 +149,24 @@ class ModelConfig:
                 kw[k] = v                       # None for derived fields
         if "head_dim" not in kw and {"hidden_size", "num_heads"} <= set(kw):
             kw["head_dim"] = kw["hidden_size"] // kw["num_heads"]
+        # HF rope_scaling dicts: {"type"/"rope_type": "linear", "factor": f}
+        # -> float; "llama3" -> RopeScaling; "default"/None -> None
+        rs = kw.get("rope_scaling")
+        if isinstance(rs, dict):
+            rtype = rs.get("rope_type", rs.get("type", "default"))
+            if rtype == "linear":
+                kw["rope_scaling"] = float(rs["factor"])
+            elif rtype == "llama3":
+                kw["rope_scaling"] = RopeScaling(
+                    factor=float(rs.get("factor", 8.0)),
+                    low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+                    high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+                    original_max_position_embeddings=int(
+                        rs.get("original_max_position_embeddings", 8192)))
+            elif rtype == "default":
+                kw["rope_scaling"] = None
+            else:
+                raise ValueError(f"unsupported rope_scaling type {rtype!r}")
         # HF quirks: Qwen2 configs carry sliding_window but gate it off by
         # default, and mark their qkv bias only via model_type
         if raw.get("use_sliding_window") is False:
@@ -231,6 +264,14 @@ PRESETS: dict[str, ModelConfig] = {
         name="llama3-8b", vocab_size=128256, hidden_size=4096,
         intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
         head_dim=128, rope_theta=500000.0, max_position_embeddings=8192,
+    ),
+    "llama3.1-8b": ModelConfig(
+        name="llama3.1-8b", vocab_size=128256, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=500000.0, max_position_embeddings=131072,
+        rope_scaling=RopeScaling(factor=8.0, low_freq_factor=1.0,
+                                 high_freq_factor=4.0,
+                                 original_max_position_embeddings=8192),
     ),
     "mistral-7b": ModelConfig(
         name="mistral-7b", vocab_size=32000, hidden_size=4096,

@@ -37,15 +37,40 @@ from llm_inference_engine_tpu.utils import cdiv, pallas_interpret, use_pallas
 __all__ = ["apply_rope", "apply_rope_xla", "split_qkv_rope", "split_qkv_rope_xla"]
 
 
+def _llama3_inv_freq(inv_freq, rs):
+    """Llama-3.1 frequency-dependent scaling (HF rope_type "llama3"):
+    wavelengths past the original context are slowed by ``factor``, short
+    wavelengths kept, smooth ramp between. Elementwise — runs unchanged in
+    XLA and inside the Mosaic kernel."""
+    orig = float(rs.original_max_position_embeddings)
+    wavelen = (2.0 * math.pi) / inv_freq
+    smooth = ((orig / wavelen - rs.low_freq_factor)
+              / (rs.high_freq_factor - rs.low_freq_factor))
+    smooth = jnp.clip(smooth, 0.0, 1.0)
+    scaled = ((1.0 - smooth) * inv_freq / rs.factor + smooth * inv_freq)
+    return jnp.where(wavelen < orig / rs.high_freq_factor, inv_freq,
+                     jnp.where(wavelen > orig / rs.low_freq_factor,
+                               inv_freq / rs.factor, scaled))
+
+
+def _apply_scaling(inv_freq, pos, scaling):
+    """Dispatch the two scaling flavors: float = linear position divide,
+    RopeScaling = llama3 per-frequency transform."""
+    if scaling is None:
+        return inv_freq, pos
+    if isinstance(scaling, (int, float)):
+        return inv_freq, pos / scaling
+    return _llama3_inv_freq(inv_freq, scaling), pos
+
+
 def _rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
-                  scaling: float | None = None):
+                  scaling=None):
     """cos/sin [..., head_dim//2] (f32) for integer positions [...]."""
     half = head_dim // 2
     freq_exp = jnp.arange(half, dtype=jnp.float32) * (2.0 / head_dim)
     inv_freq = 1.0 / (theta ** freq_exp)  # [half]
     pos = positions.astype(jnp.float32)
-    if scaling is not None:
-        pos = pos / scaling
+    inv_freq, pos = _apply_scaling(inv_freq, pos, scaling)
     angles = pos[..., None] * inv_freq  # [..., half]
     return jnp.cos(angles), jnp.sin(angles)
 
@@ -83,8 +108,7 @@ def _rope_kernel(pos_ref, x_ref, o_ref, *, head_dim, theta, scaling):
     inv_freq = jnp.exp(i2.astype(jnp.float32)
                        * ((-2.0 / head_dim) * math.log(theta)))
     pos = pos_ref[:].astype(jnp.float32).reshape(rows, 1)
-    if scaling is not None:
-        pos = pos / scaling
+    inv_freq, pos = _apply_scaling(inv_freq, pos, scaling)
     angles = pos * inv_freq                              # [rows, half]
     cos = jnp.cos(angles)
     sin = jnp.sin(angles)

@@ -178,6 +178,47 @@ def test_mistral_sliding_window_parity(tmp_path, rng):
     _hf_round_trip(tmp_path, model, cfg, ids)
 
 
+def test_llama31_rope_scaling_parity(tmp_path, rng):
+    """Llama-3.1 frequency-dependent RoPE scaling (HF rope_type
+    "llama3") matches transformers end to end."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 16},
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = ModelConfig.from_dict(hf_cfg.to_dict()).replace(
+        name="llama31-tiny", head_dim=16, dtype_name="float32")
+    from llm_inference_engine_tpu.config import RopeScaling
+    assert isinstance(cfg.rope_scaling, RopeScaling)
+    # positions beyond original_max_position_embeddings exercise the
+    # low-frequency slowed bands
+    ids = rng.integers(0, 128, size=(2, 24)).astype(np.int64)
+    _hf_round_trip(tmp_path, model, cfg, ids)
+
+
+def test_rope_scaling_pallas_vs_xla(rng):
+    from llm_inference_engine_tpu.config import RopeScaling
+    from llm_inference_engine_tpu.ops.rope import apply_rope, apply_rope_xla
+
+    rs = RopeScaling(factor=8.0, low_freq_factor=1.0, high_freq_factor=4.0,
+                     original_max_position_embeddings=32)
+    x = jnp.asarray(rng.standard_normal((2, 6, 4, 16)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, 120, size=(2, 6)), jnp.int32)
+    a = apply_rope(x, pos, theta=10000.0, scaling=rs, kernels="pallas")
+    b = apply_rope_xla(x, pos, theta=10000.0, scaling=rs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    assert get_config("llama3.1-8b").rope_scaling is not None
+
+
 def test_qwen2_bias_parity(tmp_path, rng):
     from transformers import Qwen2Config, Qwen2ForCausalLM
 
