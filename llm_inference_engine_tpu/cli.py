@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--system-prompt", default="")
+    p.add_argument("--chat-template", default="auto",
+                   help="plain | llama2 | llama3 | chatml | auto "
+                        "(auto picks by model name; plain = reference-"
+                        "parity concatenation)")
     p.add_argument("--platform", default="",
                    help="force a jax platform (e.g. 'cpu'); overrides the "
                         "JAX_PLATFORMS env, which site configs may pin")
@@ -112,8 +116,16 @@ def main(argv=None) -> int:
     sampling = SamplingParams(
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         greedy=args.greedy, max_new_tokens=args.max_new_tokens)
+    if args.chat_template == "auto":
+        from llm_inference_engine_tpu.runtime.chat_template import (
+            template_for_model)
+        template = (template_for_model(args.model)
+                    if args.checkpoint else "plain")   # dummy mode: ids only
+    else:
+        template = args.chat_template
     session = ChatSession(engine, tokenizer,
-                          system_prompt=args.system_prompt)
+                          system_prompt=args.system_prompt,
+                          template=template)
 
     # reference CallBack print protocol (user_entry.cpp:25-37)
     def cb(index: int, content: str) -> None:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import time
 from collections import deque
 from typing import Callable, Iterable, Optional, Sequence
 
@@ -42,10 +43,28 @@ class Request:
     stream_callback: Optional[Callable[[int], None]] = None
     output_ids: list[int] = dataclasses.field(default_factory=list)
     finished: bool = False
-    finish_reason: str = ""           # eos | length | capacity | rejected
+    finish_reason: str = ""           # eos | length | capacity | rejected |
+                                      # cancelled
     slot: int = -1
     prefill_pos: Optional[int] = None  # mid-prefill progress (chunked admit)
     reused_prefix_len: int = 0         # prompt tokens served from PrefixStore
+    # serving latency accounting (time.monotonic seconds)
+    submit_time: float = 0.0
+    first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None
+
+    @property
+    def ttft(self) -> Optional[float]:
+        """Submit -> first generated token (None until it exists)."""
+        if self.first_token_time is None:
+            return None
+        return self.first_token_time - self.submit_time
+
+    @property
+    def e2e_latency(self) -> Optional[float]:
+        if self.finish_time is None:
+            return None
+        return self.finish_time - self.submit_time
 
 
 class ContinuousBatchingScheduler:
@@ -72,13 +91,31 @@ class ContinuousBatchingScheduler:
                stream_callback: Optional[Callable[[int], None]] = None
                ) -> Request:
         req = Request(id=next(self._ids), prompt_ids=list(prompt_ids),
-                      sampling=sampling, stream_callback=stream_callback)
+                      sampling=sampling, stream_callback=stream_callback,
+                      submit_time=time.monotonic())
         if len(req.prompt_ids) >= self.max_seq:
             req.finished = True
             req.finish_reason = "rejected"
+            req.finish_time = req.submit_time
         else:
             self.waiting.append(req)
         return req
+
+    def cancel(self, req: Request) -> bool:
+        """Abort a request: drop it from the waiting queue, or free its
+        slot mid-flight (mid-prefill included — the slot's cache rows are
+        simply reused by the next admission). Returns False if it already
+        finished. The reference had no cancellation at all (one blocking
+        response() call per request, llama.cpp:322)."""
+        if req.finished:
+            return False
+        if req.slot < 0:
+            try:
+                self.waiting.remove(req)
+            except ValueError:
+                return False
+        self._finish(req, "cancelled")
+        return True
 
     @property
     def num_active(self) -> int:
@@ -127,6 +164,8 @@ class ContinuousBatchingScheduler:
         return self.prefix_store.register(tokens, slot=free[0])
 
     def _accept_token(self, req: Request, token: int) -> None:
+        if req.first_token_time is None:
+            req.first_token_time = time.monotonic()
         if token in self._stop_set(req):
             self._finish(req, "eos")
             return
@@ -142,6 +181,7 @@ class ContinuousBatchingScheduler:
     def _finish(self, req: Request, reason: str) -> None:
         req.finished = True
         req.finish_reason = req.finish_reason or reason
+        req.finish_time = time.monotonic()
         if req.slot >= 0:
             self.slots[req.slot] = None
             req.slot = -1

@@ -12,22 +12,30 @@ Capability parity with the reference's conversation plumbing:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+import dataclasses
+from typing import Callable, Optional, Union
 
 from llm_inference_engine_tpu.config import SamplingParams
+from llm_inference_engine_tpu.runtime.chat_template import (
+    ChatTemplate, get_chat_template, resolve_stop_ids)
 
 __all__ = ["ChatSession"]
 
 
 class ChatSession:
     def __init__(self, engine, tokenizer, slot: int = 0,
-                 system_prompt: str = ""):
+                 system_prompt: str = "",
+                 template: Union[str, ChatTemplate] = "plain"):
         self.engine = engine
         self.tokenizer = tokenizer
         self.slot = slot
         self.round = 0
         self.token_history: list[int] = []
         self.system_prompt = system_prompt
+        self.template = (get_chat_template(template)
+                         if isinstance(template, str) else template)
+        self._stop_ids = tuple(resolve_stop_ids(
+            tokenizer, self.template.stop_strings))
 
     def reset(self):
         self.engine.reset([self.slot])
@@ -35,12 +43,20 @@ class ChatSession:
         self.token_history = []
 
     def make_input(self, user_input: str) -> list[int]:
-        """Round-0 includes the system prompt; later rounds only the new
-        turn (history lives in the KV cache)."""
-        text = user_input
-        if self.round == 0 and self.system_prompt:
-            text = self.system_prompt + text
-        return self.tokenizer.encode(text, add_bos=(self.round == 0))
+        """Render this round through the chat template (round-0 carries
+        the system block; later rounds only the new turn — history lives
+        in the KV cache) and tokenize."""
+        text = self.template.render(self.round, self.system_prompt,
+                                    user_input)
+        return self.tokenizer.encode(
+            text, add_bos=(self.round == 0 and self.template.add_bos))
+
+    def _with_stops(self, sampling: SamplingParams) -> SamplingParams:
+        if not self._stop_ids:
+            return sampling
+        merged = tuple(sorted(set(sampling.stop_token_ids)
+                              | set(self._stop_ids)))
+        return dataclasses.replace(sampling, stop_token_ids=merged)
 
     def response(self, user_input: str,
                  sampling: SamplingParams = SamplingParams(),
@@ -63,7 +79,7 @@ class ChatSession:
 
         gen_ids: list[int] = []
         result = self.engine.generate(
-            [input_ids], sampling,
+            [input_ids], self._with_stops(sampling),
             eos_token_id=getattr(self.tokenizer, "eos_id", 2),
             stream_callback=on_token)
         if callback is not None:

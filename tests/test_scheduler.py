@@ -133,3 +133,44 @@ def test_chunked_admission_does_not_stall_decodes():
     rb = solo.submit(long_prompt, sp)
     solo.run()
     assert rb.output_ids == b.output_ids
+
+
+def test_cancellation_waiting_and_inflight():
+    """Cancelling a waiting request removes it before it ever runs;
+    cancelling an in-flight request frees the slot for the next admission
+    and other requests are unaffected (tokens match an uncontended run)."""
+    engine = make_engine(batch=2)
+    sched = ContinuousBatchingScheduler(engine, eos_token_id=None)
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+
+    a = sched.submit([1, 2, 3], sp)
+    b = sched.submit([9, 8, 7], sp)
+    c = sched.submit([4, 5, 6], sp)      # waits (2 slots)
+    assert sched.cancel(c)
+    assert c.finish_reason == "cancelled" and not c.output_ids
+
+    sched.step()
+    assert sched.cancel(b)               # in-flight: slot frees
+    assert b.finish_reason == "cancelled"
+    d = sched.submit([11, 12], sp)
+    sched.run()
+    assert d.finished and len(d.output_ids) == 8
+    assert not sched.cancel(d)           # already finished -> False
+
+    solo = ContinuousBatchingScheduler(make_engine(batch=1),
+                                       eos_token_id=None)
+    ra = solo.submit([1, 2, 3], sp)
+    solo.run()
+    assert a.output_ids == ra.output_ids
+
+
+def test_latency_accounting():
+    engine = make_engine(batch=2)
+    sched = ContinuousBatchingScheduler(engine, eos_token_id=None)
+    r = sched.submit([1, 2, 3], SamplingParams(greedy=True, max_new_tokens=4))
+    assert r.ttft is None and r.e2e_latency is None
+    sched.run()
+    assert r.ttft is not None and r.ttft >= 0
+    assert r.e2e_latency >= r.ttft
+    rej = sched.submit(list(range(100)), SamplingParams())
+    assert rej.finish_reason == "rejected" and rej.e2e_latency == 0.0
