@@ -27,6 +27,8 @@ class ChatTemplate:
     next: str           # later rounds: {user}
     no_system: str = "" # round 0 without a system prompt ("" = use `first`
                         # with system="")
+    assistant_suffix: str = ""  # closes an assistant turn when rendering a
+                                # full stateless conversation
     stop_strings: tuple = ()   # template-level stop tokens (besides eos)
     add_bos: bool = True       # prepend the tokenizer's BOS on round 0
 
@@ -37,6 +39,39 @@ class ChatTemplate:
             return self.no_system.format(user=user)
         return self.first.format(system=system, user=user)
 
+    def render_conversation(self, messages) -> str:
+        """Render a full stateless conversation (OpenAI-style message
+        list: dicts with role system|user|assistant) ending at an open
+        assistant turn. Used by the HTTP chat endpoint, where history
+        arrives per request rather than living in a session's KV cache."""
+        system = ""
+        out = []
+        round_idx = 0
+        pending_user = None
+
+        def flush_user():
+            nonlocal round_idx, pending_user
+            if pending_user is None:
+                return
+            out.append(self.render(round_idx, system, pending_user))
+            round_idx += 1
+            pending_user = None
+
+        for m in messages:
+            role, content = m.get("role"), m.get("content", "")
+            if role == "system":
+                system = content
+            elif role == "user":
+                flush_user()
+                pending_user = content
+            elif role == "assistant":
+                flush_user()
+                out.append(content + self.assistant_suffix)
+            else:
+                raise ValueError(f"unknown chat role {role!r}")
+        flush_user()
+        return "".join(out)
+
 
 _TEMPLATES = {
     # reference-parity: plain concatenation (llama.cpp:137-144)
@@ -46,7 +81,8 @@ _TEMPLATES = {
         name="llama2",
         first="[INST] <<SYS>>\n{system}\n<</SYS>>\n\n{user} [/INST] ",
         no_system="[INST] {user} [/INST] ",
-        next="[INST] {user} [/INST] "),
+        next="[INST] {user} [/INST] ",
+        assistant_suffix=" </s>"),
     "llama3": ChatTemplate(
         name="llama3",
         first=("<|start_header_id|>system<|end_header_id|>\n\n{system}"
@@ -58,6 +94,7 @@ _TEMPLATES = {
                    "<|end_header_id|>\n\n"),
         next=("<|start_header_id|>user<|end_header_id|>\n\n{user}<|eot_id|>"
               "<|start_header_id|>assistant<|end_header_id|>\n\n"),
+        assistant_suffix="<|eot_id|>",
         stop_strings=("<|eot_id|>", "<|end_of_text|>")),
     "chatml": ChatTemplate(
         name="chatml",
@@ -68,6 +105,7 @@ _TEMPLATES = {
                    "<|im_start|>assistant\n"),
         next=("<|im_start|>user\n{user}<|im_end|>\n"
               "<|im_start|>assistant\n"),
+        assistant_suffix="<|im_end|>\n",
         stop_strings=("<|im_end|>", "<|endoftext|>"),
         add_bos=False),       # Qwen2 has no BOS
 }

@@ -1,0 +1,378 @@
+"""OpenAI-compatible HTTP serving front-end.
+
+The reference's only user surface was a single-user blocking CLI REPL
+(user_entry.cpp:9-43). This is the deployable counterpart: an HTTP server
+speaking the OpenAI REST dialect over the continuous-batching scheduler —
+many concurrent clients multiplex onto the engine's batch slots.
+
+Endpoints:
+- ``POST /v1/completions``        prompt in, text out; ``stream: true``
+                                  emits SSE chunks per token
+- ``POST /v1/chat/completions``   OpenAI message list rendered through the
+                                  model's chat template (stateless — the
+                                  full conversation arrives per request)
+- ``GET /v1/models`` / ``GET /health``
+
+Threading model (JAX engines are single-threaded by design): ONE engine
+thread owns the scheduler and loops submit-drain -> step(); HTTP handler
+threads only enqueue work and block on per-request token queues fed by the
+scheduler's stream callbacks. No framework dependencies — stdlib
+http.server with a threading mixin.
+
+    python -m llm_inference_engine_tpu.server --model debug \
+        --dummy-weights --port 8000 --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import json
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from llm_inference_engine_tpu.config import SamplingParams
+
+__all__ = ["LLMServer", "main"]
+
+_STEP_IDLE_SLEEP = 0.002
+
+
+@dataclasses.dataclass
+class _Pending:
+    """One HTTP request's bridge into the engine thread."""
+    prompt_ids: list
+    sampling: SamplingParams
+    events: "queue.Queue"           # (token_id | None, request) stream
+    request: object = None          # filled by the engine thread
+
+
+class LLMServer:
+    """Engine thread + request bridge. HTTP handlers call ``enqueue`` and
+    iterate ``stream_events``; everything engine-side happens on the one
+    engine thread."""
+
+    def __init__(self, scheduler, tokenizer, template, model_name: str):
+        self.scheduler = scheduler
+        self.tokenizer = tokenizer
+        self.template = template
+        self.model_name = model_name
+        self._submit_q: "queue.Queue[_Pending]" = queue.Queue()
+        self._ids = itertools.count()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._engine_loop,
+                                        name="engine", daemon=True)
+        from llm_inference_engine_tpu.runtime.chat_template import (
+            resolve_stop_ids)
+        self._template_stops = tuple(resolve_stop_ids(
+            tokenizer, template.stop_strings))
+
+    # -- engine thread -----------------------------------------------------
+
+    def start(self):
+        self._thread.start()
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    def _engine_loop(self):
+        sched = self.scheduler
+        while not self._stop.is_set():
+            moved = False
+            while True:
+                try:
+                    p = self._submit_q.get_nowait()
+                except queue.Empty:
+                    break
+                moved = True
+                ev = p.events
+
+                def cb(tok, _ev=ev):
+                    _ev.put(("token", int(tok)))
+
+                p.request = sched.submit(p.prompt_ids, p.sampling,
+                                         stream_callback=cb)
+                if p.request.finished:      # rejected at submit
+                    ev.put(("done", p.request))
+                else:
+                    p.request._server_events = ev
+            if sched.has_work:
+                done = sched.step()
+                for r in done:
+                    ev = getattr(r, "_server_events", None)
+                    if ev is not None:
+                        ev.put(("done", r))
+                moved = True
+            if not moved:
+                time.sleep(_STEP_IDLE_SLEEP)
+
+    # -- handler-side API ----------------------------------------------------
+
+    def enqueue(self, prompt_ids, sampling: SamplingParams) -> _Pending:
+        if self._template_stops:
+            sampling = dataclasses.replace(
+                sampling, stop_token_ids=tuple(
+                    set(sampling.stop_token_ids) | set(self._template_stops)))
+        p = _Pending(prompt_ids=list(prompt_ids), sampling=sampling,
+                     events=queue.Queue())
+        self._submit_q.put(p)
+        return p
+
+    def stream_events(self, p: _Pending, timeout: float = 600.0):
+        """Yield ('token', id) then one final ('done', request)."""
+        deadline = time.monotonic() + timeout
+        while True:
+            ev = p.events.get(timeout=max(0.0, deadline - time.monotonic()))
+            yield ev
+            if ev[0] == "done":
+                return
+
+    # -- request plumbing ------------------------------------------------------
+
+    def sampling_from(self, body: dict) -> SamplingParams:
+        temperature = float(body.get("temperature", 1.0))
+        return SamplingParams(
+            temperature=temperature,
+            greedy=temperature == 0.0,
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", 50)),
+            max_new_tokens=int(body.get("max_tokens",
+                                        body.get("max_completion_tokens",
+                                                 128))),
+            stop_token_ids=tuple(body.get("stop_token_ids", ())))
+
+    def encode_prompt(self, body: dict):
+        if "messages" in body:
+            text = self.template.render_conversation(body["messages"])
+            return self.tokenizer.encode(text,
+                                         add_bos=self.template.add_bos)
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list):
+            if prompt and isinstance(prompt[0], int):
+                return list(prompt)           # pre-tokenized
+            prompt = "".join(prompt)
+        return self.tokenizer.encode(prompt, add_bos=True)
+
+    def decode_delta(self, prev_ids: list, tok: int) -> str:
+        try:
+            return self.tokenizer.decode_incremental(prev_ids, tok)
+        except Exception:
+            return ""
+
+
+def _finish_reason(req) -> str:
+    return {"eos": "stop", "length": "length", "capacity": "length",
+            "cancelled": "cancelled", "rejected": "length"}.get(
+        req.finish_reason, req.finish_reason or "stop")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "llm-inference-engine-tpu/1.0"
+    protocol_version = "HTTP/1.1"
+    llm: LLMServer = None            # set by serve()
+
+    # -- helpers -----------------------------------------------------------
+
+    def log_message(self, fmt, *args):   # quiet by default
+        pass
+
+    def _json(self, code: int, obj: dict):
+        data = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _read_body(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(n) if n else b"{}"
+        return json.loads(raw or b"{}")
+
+    # -- endpoints ------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+        elif self.path == "/v1/models":
+            self._json(200, {"object": "list", "data": [
+                {"id": self.llm.model_name, "object": "model",
+                 "owned_by": "llm-inference-engine-tpu"}]})
+        else:
+            self._json(404, {"error": {"message": f"no route {self.path}"}})
+
+    def do_POST(self):
+        chat = self.path == "/v1/chat/completions"
+        if not chat and self.path != "/v1/completions":
+            self._json(404, {"error": {"message": f"no route {self.path}"}})
+            return
+        try:
+            body = self._read_body()
+            prompt_ids = self.llm.encode_prompt(body)
+            sampling = self.llm.sampling_from(body)
+        except Exception as e:  # noqa: BLE001 — client error surface
+            self._json(400, {"error": {"message": str(e)}})
+            return
+
+        pending = self.llm.enqueue(prompt_ids, sampling)
+        rid = f"cmpl-{next(self.llm._ids)}"
+        created = int(time.time())
+
+        if body.get("stream"):
+            self._stream_response(pending, prompt_ids, rid, created, chat)
+        else:
+            self._full_response(pending, prompt_ids, rid, created, chat)
+
+    # -- response shapes ------------------------------------------------------
+
+    def _full_response(self, pending, prompt_ids, rid, created, chat):
+        req = None
+        for kind, val in self.llm.stream_events(pending):
+            if kind == "done":
+                req = val
+        # assemble with prompt context (identical text to streaming mode —
+        # tokenizers attach whitespace to token boundaries)
+        text = ""
+        seen = list(prompt_ids)
+        for tok in req.output_ids:
+            text += self.llm.decode_delta(seen, tok)
+            seen.append(tok)
+        message = ({"message": {"role": "assistant", "content": text}}
+                   if chat else {"text": text})
+        self._json(200, {
+            "id": rid, "created": created,
+            "object": "chat.completion" if chat else "text_completion",
+            "model": self.llm.model_name,
+            "choices": [{**message, "index": 0,
+                         "finish_reason": _finish_reason(req)}],
+            "usage": {
+                "prompt_tokens": len(prompt_ids),
+                "completion_tokens": len(req.output_ids),
+                "total_tokens": len(prompt_ids) + len(req.output_ids)}})
+
+    def _stream_response(self, pending, prompt_ids, rid, created, chat):
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(payload: dict):
+            data = b"data: " + json.dumps(payload).encode() + b"\n\n"
+            self.wfile.write(hex(len(data))[2:].encode() + b"\r\n"
+                             + data + b"\r\n")
+            self.wfile.flush()
+
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        seen: list = list(prompt_ids)
+        if chat:
+            chunk({"id": rid, "object": obj, "created": created,
+                   "model": self.llm.model_name,
+                   "choices": [{"index": 0, "delta": {"role": "assistant"},
+                                "finish_reason": None}]})
+        finish = "stop"
+        for kind, val in self.llm.stream_events(pending):
+            if kind == "token":
+                delta = self.llm.decode_delta(seen, val)
+                seen.append(val)
+                piece = ({"delta": {"content": delta}} if chat
+                         else {"text": delta})
+                chunk({"id": rid, "object": obj, "created": created,
+                       "model": self.llm.model_name,
+                       "choices": [{**piece, "index": 0,
+                                    "finish_reason": None}]})
+            else:
+                finish = _finish_reason(val)
+        chunk({"id": rid, "object": obj, "created": created,
+               "model": self.llm.model_name,
+               "choices": [{"index": 0,
+                            **({"delta": {}} if chat else {"text": ""}),
+                            "finish_reason": finish}]})
+        tail = b"data: [DONE]\n\n"
+        self.wfile.write(hex(len(tail))[2:].encode() + b"\r\n" + tail
+                         + b"\r\n")
+        self.wfile.write(b"0\r\n\r\n")
+        self.wfile.flush()
+
+
+def make_server(scheduler, tokenizer, template, model_name: str,
+                host: str = "127.0.0.1", port: int = 8000):
+    """Build (ThreadingHTTPServer, LLMServer); caller starts both."""
+    llm = LLMServer(scheduler, tokenizer, template, model_name)
+    handler = type("BoundHandler", (_Handler,), {"llm": llm})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    return httpd, llm
+
+
+def main(argv=None) -> int:
+    from llm_inference_engine_tpu.cli import _IdTokenizer
+    from llm_inference_engine_tpu.config import EngineConfig
+    from llm_inference_engine_tpu.models.registry import create_engine
+    from llm_inference_engine_tpu.runtime.chat_template import (
+        get_chat_template, template_for_model)
+    from llm_inference_engine_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler)
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="llama2-7b")
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--tokenizer", default="")
+    ap.add_argument("--dummy-weights", action="store_true")
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4"])
+    ap.add_argument("--kv-cache-dtype", choices=["", "int8"], default="")
+    ap.add_argument("--max-batch-size", type=int, default=8)
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--chat-template", default="auto")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--platform", default="")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform != "tpu":
+            from llm_inference_engine_tpu.utils import set_pallas_interpret
+            set_pallas_interpret(True)
+    if not args.dummy_weights and not args.checkpoint:
+        print("either --checkpoint or --dummy-weights is required",
+              file=sys.stderr)
+        return 2
+
+    eng = EngineConfig(max_batch_size=args.max_batch_size,
+                       max_seq_len=args.max_seq_len, quant_mode=args.quant,
+                       kv_cache_dtype_name=args.kv_cache_dtype)
+    engine = create_engine(args.model, args.checkpoint, eng)
+    if args.tokenizer or args.checkpoint:
+        from llm_inference_engine_tpu.tokenizer import load_tokenizer
+        tokenizer = load_tokenizer(args.tokenizer or args.checkpoint)
+    else:
+        tokenizer = _IdTokenizer(engine.config.vocab_size)
+    template = (template_for_model(args.model)
+                if args.chat_template == "auto"
+                else get_chat_template(args.chat_template))
+    eos = getattr(tokenizer, "eos_id", 2)
+    sched = ContinuousBatchingScheduler(engine, eos_token_id=eos)
+
+    httpd, llm = make_server(sched, tokenizer, template, args.model,
+                             args.host, args.port)
+    llm.start()
+    print(f"serving {args.model} on http://{args.host}:{args.port}",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        llm.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,3 +116,27 @@ def test_chat_session_uses_template_and_stops():
     # (dummy weights rarely emit it; the merge itself is what's pinned)
     merged = s._with_stops(SamplingParams(stop_token_ids=(99,)))
     assert merged.stop_token_ids == (3, 99)
+
+
+def test_render_conversation_multi_turn():
+    t = get_chat_template("chatml")
+    text = t.render_conversation([
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+    ])
+    assert text == ("<|im_start|>system\nsys<|im_end|>\n"
+                    "<|im_start|>user\nq1<|im_end|>\n<|im_start|>assistant\n"
+                    "a1<|im_end|>\n"
+                    "<|im_start|>user\nq2<|im_end|>\n<|im_start|>assistant\n")
+    with pytest.raises(ValueError):
+        t.render_conversation([{"role": "alien", "content": "x"}])
+    # llama2: assistant turns close with </s>
+    t2 = get_chat_template("llama2")
+    text2 = t2.render_conversation([
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+    ])
+    assert text2 == "[INST] q1 [/INST] a1 </s>[INST] q2 [/INST] "

@@ -1,0 +1,149 @@
+"""OpenAI-compatible HTTP server tests (server.py).
+
+Real ThreadingHTTPServer on an ephemeral port + the engine thread over a
+dummy-weight debug engine; clients speak actual HTTP (http.client).
+Invariants: completion/chat/streaming response shapes, stream text ==
+non-stream text (greedy), usage accounting, concurrent requests all served
+through the shared continuous-batching scheduler.
+"""
+
+import http.client
+import json
+import threading
+
+import pytest
+
+from llm_inference_engine_tpu.cli import _IdTokenizer
+from llm_inference_engine_tpu.config import EngineConfig, get_config
+from llm_inference_engine_tpu.models.weights import init_dummy_params
+from llm_inference_engine_tpu.runtime.chat_template import get_chat_template
+from llm_inference_engine_tpu.runtime.engine import InferenceEngine
+from llm_inference_engine_tpu.runtime.scheduler import ContinuousBatchingScheduler
+from llm_inference_engine_tpu.server import make_server
+
+CFG = get_config("debug")
+
+
+@pytest.fixture(scope="module")
+def server():
+    eng = InferenceEngine(
+        CFG, EngineConfig(max_batch_size=2, max_seq_len=64, kernels="xla"),
+        init_dummy_params(CFG, seed=0))
+    sched = ContinuousBatchingScheduler(eng, eos_token_id=None)
+    httpd, llm = make_server(sched, _IdTokenizer(CFG.vocab_size),
+                             get_chat_template("plain"), "debug",
+                             host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    llm.start()
+    yield httpd.server_address
+    httpd.shutdown()
+    llm.shutdown()
+
+
+def _post(addr, path, body):
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    return resp.status, resp
+
+
+def _get_json(resp):
+    return json.loads(resp.read())
+
+
+def test_health_and_models(server):
+    conn = http.client.HTTPConnection(*server, timeout=60)
+    conn.request("GET", "/health")
+    assert _get_json(conn.getresponse())["status"] == "ok"
+    conn.request("GET", "/v1/models")
+    models = _get_json(conn.getresponse())
+    assert models["data"][0]["id"] == "debug"
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
+
+
+def _completion(server, **kw):
+    body = {"prompt": "5 9 2", "max_tokens": 6, "temperature": 0.0, **kw}
+    status, resp = _post(server, "/v1/completions", body)
+    assert status == 200
+    return _get_json(resp)
+
+
+def test_completion_shape_and_usage(server):
+    out = _completion(server)
+    assert out["object"] == "text_completion"
+    choice = out["choices"][0]
+    assert choice["finish_reason"] in ("stop", "length")
+    assert len(choice["text"].split()) == out["usage"]["completion_tokens"]
+    assert out["usage"]["prompt_tokens"] == 4          # bos + 3 ids
+    assert out["usage"]["total_tokens"] == (
+        out["usage"]["prompt_tokens"] + out["usage"]["completion_tokens"])
+
+
+def test_stream_matches_nonstream(server):
+    full = _completion(server)["choices"][0]["text"]
+
+    status, resp = _post(server, "/v1/completions",
+                         {"prompt": "5 9 2", "max_tokens": 6,
+                          "temperature": 0.0, "stream": True})
+    assert status == 200
+    assert resp.getheader("Content-Type").startswith("text/event-stream")
+    events = []
+    buf = b""
+    while True:
+        chunk = resp.read(1)
+        if not chunk:
+            break
+        buf += chunk
+        while b"\n\n" in buf:
+            line, buf = buf.split(b"\n\n", 1)
+            if line.startswith(b"data: "):
+                payload = line[len(b"data: "):]
+                if payload == b"[DONE]":
+                    events.append(None)
+                else:
+                    events.append(json.loads(payload))
+        if events and events[-1] is None:
+            break
+    assert events[-1] is None
+    toks = [e["choices"][0]["text"] for e in events[:-1]
+            if e["choices"][0]["finish_reason"] is None]
+    assert "".join(toks) == full
+    assert events[-2]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_chat_completion(server):
+    status, resp = _post(server, "/v1/chat/completions", {
+        "messages": [{"role": "system", "content": "1 2"},
+                     {"role": "user", "content": "7 11"}],
+        "max_tokens": 5, "temperature": 0.0})
+    assert status == 200
+    out = _get_json(resp)
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and msg["content"]
+    # plain template concatenates: "1 2" + "7 11" -> "1 27 11" -> bos + 3
+    assert out["usage"]["prompt_tokens"] == 4
+
+
+def test_concurrent_requests_multiplex(server):
+    results = [None] * 4
+    def go(i):
+        results[i] = _completion(server, prompt=f"{3 + i} {5 + i}")
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for r in results:
+        assert r is not None
+        assert r["usage"]["completion_tokens"] == 6
+
+
+def test_bad_request(server):
+    status, resp = _post(server, "/v1/chat/completions", {
+        "messages": [{"role": "alien", "content": "x"}]})
+    assert status == 400
+    assert "error" in _get_json(resp)
