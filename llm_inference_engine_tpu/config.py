@@ -234,6 +234,10 @@ class SamplingParams:
     temperature: float = 1.0
     top_k: int = 5
     top_p: float = 1.0
+    min_p: float = 0.0               # drop candidates below min_p * p_max
+    repetition_penalty: float = 1.0  # HF-style, over the full context
+    presence_penalty: float = 0.0    # OpenAI-style, over generated tokens
+    frequency_penalty: float = 0.0   # OpenAI-style, per occurrence
     greedy: bool = False
     max_new_tokens: int = 256
     stop_token_ids: tuple[int, ...] = ()

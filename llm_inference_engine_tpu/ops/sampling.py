@@ -23,9 +23,34 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["greedy_sample", "sample_top_k", "top_k_logits", "sample_tokens",
-           "MAX_TOP_K"]
+           "apply_penalties", "MAX_TOP_K"]
 
 MAX_TOP_K = 64  # static top-k width; per-slot k masks within it
+
+
+def apply_penalties(logits: jax.Array, counts_ctx: jax.Array,
+                    counts_gen: jax.Array, repetition: jax.Array,
+                    presence: jax.Array, frequency: jax.Array) -> jax.Array:
+    """Context-aware logit penalties (beyond the reference, which had no
+    penalty machinery at all).
+
+    logits:     [B, V]
+    counts_ctx: [B, V] int — occurrences in the full context (prompt +
+                generated); drives the HF-style repetition penalty
+    counts_gen: [B, V] int — occurrences among GENERATED tokens only;
+                drives the OpenAI-style frequency/presence penalties
+    repetition/presence/frequency: [B] per-slot params. Neutral values
+    (1, 0, 0) make this an exact identity — callers apply it
+    unconditionally, no recompile per request mix.
+    """
+    lf = logits.astype(jnp.float32)
+    rep = repetition[:, None]
+    seen = (counts_ctx + counts_gen) > 0
+    penalized = jnp.where(lf > 0, lf / rep, lf * rep)
+    lf = jnp.where(seen, penalized, lf)
+    lf = lf - counts_gen.astype(jnp.float32) * frequency[:, None]
+    lf = lf - (counts_gen > 0).astype(jnp.float32) * presence[:, None]
+    return lf
 
 
 def top_k_logits(logits: jax.Array, k: int):
@@ -63,14 +88,16 @@ def sample_top_k(logits: jax.Array, key: jax.Array, *, temperature: float = 1.0,
 
 
 def sample_tokens(logits: jax.Array, key: jax.Array, temperature: jax.Array,
-                  top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+                  top_k: jax.Array, top_p: jax.Array,
+                  min_p: jax.Array | None = None) -> jax.Array:
     """Per-slot-parameterized sampling (continuous batching: every slot can
     carry its own request's sampling config, all as runtime arrays — no
     recompile per request mix).
 
-    logits: [B, V]; temperature/top_k/top_p: [B] (temperature<=0 => greedy).
+    logits: [B, V]; temperature/top_k/top_p(/min_p): [B]
+    (temperature<=0 => greedy; min_p=0 => no min-p filtering).
     Always draws from the top-MAX_TOP_K candidates, masked down to each
-    slot's k and nucleus p.
+    slot's k, min-p floor and nucleus p.
     """
     K = min(MAX_TOP_K, logits.shape[-1])
     vals, idx = jax.lax.top_k(logits.astype(jnp.float32), K)       # [B,K]
@@ -83,7 +110,14 @@ def sample_tokens(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     vals_t = jnp.where(keep, vals_t, -jnp.inf)
     probs = jax.nn.softmax(vals_t, axis=-1)
 
+    if min_p is not None:
+        # min-p floor: drop candidates below min_p * p_max (the top
+        # candidate always survives)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        probs = jnp.where(probs >= min_p[:, None] * pmax, probs, 0.0)
+
     # nucleus filter within the K candidates (sorted descending)
+    probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True), 1e-30)
     cum = jnp.cumsum(probs, axis=-1)
     keep_p = (cum - probs) < top_p[:, None]
     probs = jnp.where(keep_p, probs, 0.0)

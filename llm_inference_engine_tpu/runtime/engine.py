@@ -32,7 +32,7 @@ from llm_inference_engine_tpu.config import EngineConfig, ModelConfig, SamplingP
 from llm_inference_engine_tpu.models import llama as llama_model
 from llm_inference_engine_tpu.ops import kv_cache as kvc
 from llm_inference_engine_tpu.ops.sampling import (
-    greedy_sample, sample_top_k, sample_tokens)
+    apply_penalties, greedy_sample, sample_top_k, sample_tokens)
 
 __all__ = ["InferenceEngine", "GenerationResult"]
 
@@ -101,26 +101,62 @@ class InferenceEngine:
 
         self.params = params
         self.cache = cache
+        # context / generated token-occurrence counts per slot (drive the
+        # repetition / presence / frequency penalties; ops/sampling.py)
+        B_, V_ = engine_config.max_batch_size, config.vocab_size
+        self._counts_ctx = jnp.zeros((B_, V_), jnp.int32)
+        self._counts_gen = jnp.zeros((B_, V_), jnp.int32)
 
-        @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnames=("kv_hi",))
-        def _prefill(params, cache, token_ids, q_start, kv_len, kv_hi=None):
-            return fwd(params, cache, token_ids, q_start, kv_len, kv_hi)
+        def _count_tokens(counts, token_ids, valid):
+            """counts [B,V] += one-hot sums of token_ids [B,T] where valid."""
+            B = counts.shape[0]
+            return counts.at[jnp.arange(B)[:, None], token_ids].add(
+                valid.astype(jnp.int32))
 
-        @functools.partial(jax.jit, donate_argnums=(1,),
+        @functools.partial(jax.jit, donate_argnums=(1, 2),
                            static_argnames=("kv_hi",))
-        def _decode_step(params, cache, tokens, active, key, temperature,
-                         top_k, top_p, kv_hi=None):
+        def _prefill(params, cache, counts_ctx, token_ids, q_start, kv_len,
+                     kv_hi=None):
+            T = token_ids.shape[1]
+            valid = (jnp.arange(T)[None, :]
+                     < (kv_len - q_start)[:, None])
+            counts_ctx = _count_tokens(counts_ctx, token_ids, valid)
+            logits, cache = fwd(params, cache, token_ids, q_start, kv_len,
+                                kv_hi)
+            return logits, cache, counts_ctx
+
+        def _penalized(logits, counts_ctx, counts_gen, extras):
+            minp, rep, pres, freq = extras
+            return apply_penalties(logits, counts_ctx, counts_gen,
+                                   rep, pres, freq), minp
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3),
+                           static_argnames=("kv_hi",))
+        def _decode_step(params, cache, counts_ctx, counts_gen, tokens,
+                         active, key, temperature, top_k, top_p, extras,
+                         kv_hi=None):
             q_start = cache.lengths
             kv_len = q_start + active.astype(jnp.int32)
             logits, cache = fwd(params, cache, tokens[:, None], q_start,
                                 kv_len, kv_hi)
-            nxt = sample_tokens(logits, key, temperature, top_k, top_p)
-            return nxt, cache
+            logits, minp = _penalized(logits, counts_ctx, counts_gen, extras)
+            nxt = sample_tokens(logits, key, temperature, top_k, top_p, minp)
+            counts_ctx = _count_tokens(counts_ctx, nxt[:, None],
+                                       active[:, None])
+            counts_gen = _count_tokens(counts_gen, nxt[:, None],
+                                       active[:, None])
+            return nxt, cache, counts_ctx, counts_gen
 
-        @jax.jit
-        def _sample(logits, key, temperature, top_k, top_p):
-            return sample_tokens(logits, key, temperature, top_k, top_p)
+        @functools.partial(jax.jit, donate_argnums=(5, 6))
+        def _sample(logits, key, temperature, top_k, top_p, counts_ctx,
+                    counts_gen, extras, count_mask):
+            logits, minp = _penalized(logits, counts_ctx, counts_gen, extras)
+            nxt = sample_tokens(logits, key, temperature, top_k, top_p, minp)
+            counts_ctx = _count_tokens(counts_ctx, nxt[:, None],
+                                       count_mask[:, None])
+            counts_gen = _count_tokens(counts_gen, nxt[:, None],
+                                       count_mask[:, None])
+            return nxt, counts_ctx, counts_gen
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("num_steps", "kv_hi"))
@@ -144,9 +180,10 @@ class InferenceEngine:
 
         max_room = eng.max_seq_len - 1
 
-        @functools.partial(jax.jit, donate_argnums=(1,),
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3),
                            static_argnames=("num_steps", "kv_hi"))
-        def _sampled_rollout(params, cache, tokens, key, temp, top_k, top_p,
+        def _sampled_rollout(params, cache, counts_ctx, counts_gen, tokens,
+                             key, temp, top_k, top_p, extras,
                              active0, stop_ids, limit, num_steps: int,
                              kv_hi=None):
             """Sampled multi-step decode fully on device: one host call for
@@ -161,27 +198,31 @@ class InferenceEngine:
             out0 = jnp.full((num_steps, B), -1, jnp.int32)
 
             def cond(st):
-                i, cache, toks, key, act, out = st
+                i, cache, cc, cg, toks, key, act, out = st
                 return (i < limit) & act.any()
 
             def body(st):
-                i, cache, toks, key, act, out = st
+                i, cache, cc, cg, toks, key, act, out = st
                 act = act & (cache.lengths < max_room)
                 q_start = cache.lengths
                 kv_len = q_start + act.astype(jnp.int32)
                 logits, cache = fwd(params, cache, toks[:, None], q_start,
                                     kv_len, kv_hi)
+                logits, minp = _penalized(logits, cc, cg, extras)
                 key, sub = jax.random.split(key)
-                nxt = sample_tokens(logits, sub, temp, top_k, top_p)
+                nxt = sample_tokens(logits, sub, temp, top_k, top_p, minp)
                 nxt = jnp.where(act, nxt, toks)
+                cc = _count_tokens(cc, nxt[:, None], act[:, None])
+                cg = _count_tokens(cg, nxt[:, None], act[:, None])
                 out = out.at[i].set(jnp.where(act, nxt, -1))
                 stopped = (nxt[:, None] == stop_ids[None, :]).any(-1)
-                return (i + 1, cache, nxt, key, act & ~stopped, out)
+                return (i + 1, cache, cc, cg, nxt, key, act & ~stopped, out)
 
-            _, cache, _, _, _, out = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), cache, tokens, key,
-                             active0, out0))
-            return out, cache
+            _, cache, counts_ctx, counts_gen, _, _, _, out = \
+                jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), cache, counts_ctx, counts_gen,
+                                 tokens, key, active0, out0))
+            return out, cache, counts_ctx, counts_gen
 
         self._prefill_fn = _prefill
         self._decode_fn = _decode_step
@@ -207,11 +248,16 @@ class InferenceEngine:
         if slots is None:
             self.cache = dataclasses.replace(
                 self.cache, lengths=jnp.zeros_like(self.cache.lengths))
+            self._counts_ctx = jnp.zeros_like(self._counts_ctx)
+            self._counts_gen = jnp.zeros_like(self._counts_gen)
         else:
             lengths = np.array(self.cache.lengths)  # writable copy
             lengths[list(slots)] = 0
             self.cache = dataclasses.replace(
                 self.cache, lengths=jnp.asarray(lengths))
+            rows = jnp.asarray(list(slots), jnp.int32)
+            self._counts_ctx = self._counts_ctx.at[rows].set(0)
+            self._counts_gen = self._counts_gen.at[rows].set(0)
 
     def prefill(self, prompts: Sequence[Sequence[int]],
                 slots: Optional[Sequence[int]] = None,
@@ -275,9 +321,9 @@ class InferenceEngine:
             kv_hi_r = (kv_hi if kv_hi is not None
                        else self._kv_watermark(lengths_host + chunk_lens, 0))
             kv_len = q_start + jnp.asarray(chunk_lens)
-            logits, self.cache = self._prefill_fn(
-                self.params, self.cache, jnp.asarray(token_ids), q_start,
-                kv_len, kv_hi=kv_hi_r)
+            logits, self.cache, self._counts_ctx = self._prefill_fn(
+                self.params, self.cache, self._counts_ctx,
+                jnp.asarray(token_ids), q_start, kv_len, kv_hi=kv_hi_r)
             self.cache = dataclasses.replace(self.cache, lengths=kv_len)
             lengths_host = lengths_host + chunk_lens
 
@@ -291,38 +337,77 @@ class InferenceEngine:
             offset += C
         return final_logits
 
+    def _neutral_extras(self):
+        """(min_p, repetition, presence, frequency) identity values."""
+        B = self.engine_config.max_batch_size
+        return (jnp.zeros((B,), jnp.float32), jnp.ones((B,), jnp.float32),
+                jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.float32))
+
     def _sampling_arrays(self, sp: SamplingParams):
+        """Per-slot arrays (temperature, top_k, top_p) + the extras tuple
+        (min_p, repetition, presence, frequency)."""
         B = self.engine_config.max_batch_size
         t = 0.0 if sp.greedy else sp.temperature
+        extras = (jnp.full((B,), sp.min_p, jnp.float32),
+                  jnp.full((B,), sp.repetition_penalty, jnp.float32),
+                  jnp.full((B,), sp.presence_penalty, jnp.float32),
+                  jnp.full((B,), sp.frequency_penalty, jnp.float32))
         return (jnp.full((B,), t, jnp.float32),
                 jnp.full((B,), sp.top_k, jnp.int32),
-                jnp.full((B,), sp.top_p, jnp.float32))
+                jnp.full((B,), sp.top_p, jnp.float32), extras)
 
-    def sample(self, logits, temperature, top_k, top_p):
-        """Sample token ids from logits with per-slot params [B]."""
+    @staticmethod
+    def _unpack_arrays(arrays):
+        """(temp, topk, topp[, extras]) -> 4-tuple with extras=None when
+        the legacy 3-tuple arrives."""
+        if len(arrays) == 3:
+            return (*(jnp.asarray(a) for a in arrays), None)
+        temp, topk, topp, extras = arrays
+        return (jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp),
+                tuple(jnp.asarray(e) for e in extras))
+
+    def sample(self, logits, temperature, top_k, top_p, extras=None,
+               count_mask=None):
+        """Sample token ids from logits with per-slot params [B].
+
+        ``extras``: (min_p, repetition, presence, frequency) per-slot
+        arrays (None = neutral). ``count_mask`` [B] bool marks the rows
+        whose sampled token enters this slot's penalty counts (rows whose
+        sample is discarded — e.g. mid-prefill chunks — must not count)."""
         self._key, sub = jax.random.split(self._key)
-        return self._sample_fn(logits, sub, jnp.asarray(temperature),
-                               jnp.asarray(top_k), jnp.asarray(top_p))
+        if extras is None:
+            extras = self._neutral_extras()
+        if count_mask is None:
+            count_mask = np.zeros((logits.shape[0],), bool)
+        nxt, self._counts_ctx, self._counts_gen = self._sample_fn(
+            logits, sub, jnp.asarray(temperature), jnp.asarray(top_k),
+            jnp.asarray(top_p), self._counts_ctx, self._counts_gen,
+            tuple(jnp.asarray(e) for e in extras), jnp.asarray(count_mask))
+        return nxt
 
     def decode_step(self, tokens, active, sp_or_arrays,
                     kv_hi: int | None = None):
         """One decode step over all slots. tokens/active: [B] device or np.
         ``sp_or_arrays``: a SamplingParams (uniform) or a (temperature,
-        top_k, top_p) triple of per-slot [B] arrays. ``kv_hi``: multi-host
-        lockstep override of the static attention watermark (every host
-        must trace the same decode-program variant)."""
+        top_k, top_p[, extras]) tuple of per-slot [B] arrays. ``kv_hi``:
+        multi-host lockstep override of the static attention watermark
+        (every host must trace the same decode-program variant)."""
         if isinstance(sp_or_arrays, SamplingParams):
-            temp, topk, topp = self._sampling_arrays(sp_or_arrays)
+            temp, topk, topp, extras = self._sampling_arrays(sp_or_arrays)
         else:
-            temp, topk, topp = (jnp.asarray(a) for a in sp_or_arrays)
+            temp, topk, topp, extras = self._unpack_arrays(sp_or_arrays)
+        if extras is None:
+            extras = self._neutral_extras()
         self._key, sub = jax.random.split(self._key)
         active = jnp.asarray(active)
         if kv_hi is None:
             kv_hi = self._kv_watermark(
                 np.asarray(jax.device_get(self.cache.lengths)), 1)
-        nxt, self.cache = self._decode_fn(
-            self.params, self.cache, jnp.asarray(tokens), active, sub,
-            temp, topk, topp, kv_hi=kv_hi)
+        nxt, self.cache, self._counts_ctx, self._counts_gen = \
+            self._decode_fn(
+                self.params, self.cache, self._counts_ctx, self._counts_gen,
+                jnp.asarray(tokens), active, sub, temp, topk, topp, extras,
+                kv_hi=kv_hi)
         return nxt
 
     def decode_rollout(self, tokens, num_steps: int):
@@ -355,8 +440,10 @@ class InferenceEngine:
         B = self.engine_config.max_batch_size
 
         first_logits = self.prefill(prompts)
-        temp, topk, topp = self._sampling_arrays(sampling)
-        tokens = self.sample(first_logits, temp, topk, topp)
+        temp, topk, topp, extras = self._sampling_arrays(sampling)
+        count_mask = np.arange(B) < nseq
+        tokens = self.sample(first_logits, temp, topk, topp, extras,
+                             count_mask)
 
         stop_ids = set(sampling.stop_token_ids)
         if eos_token_id is not None:
@@ -385,11 +472,13 @@ class InferenceEngine:
             kv_hi = self._kv_watermark(
                 np.asarray(jax.device_get(self.cache.lengths)), steps)
             stop_arr = jnp.asarray(sorted(stop_ids) or [-2], jnp.int32)
-            temp, topk, topp = self._sampling_arrays(sampling)
+            temp, topk, topp, extras = self._sampling_arrays(sampling)
             self._key, sub = jax.random.split(self._key)
-            rolled, self.cache = self._sampled_rollout_fn(
-                self.params, self.cache, jnp.asarray(tokens), sub, temp,
-                topk, topp, jnp.asarray(~done), stop_arr,
+            (rolled, self.cache, self._counts_ctx,
+             self._counts_gen) = self._sampled_rollout_fn(
+                self.params, self.cache, self._counts_ctx, self._counts_gen,
+                jnp.asarray(tokens), sub, temp,
+                topk, topp, extras, jnp.asarray(~done), stop_arr,
                 jnp.int32(steps), num_steps=num_steps, kv_hi=kv_hi)
             host = np.asarray(rolled)
             for row in host:

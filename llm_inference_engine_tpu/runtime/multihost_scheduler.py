@@ -107,8 +107,14 @@ class MultiHostScheduler(ContinuousBatchingScheduler):
             logits = self.engine.prefill(chunks, slots=call_slots,
                                          pad_to=plan.prefill_len,
                                          kv_hi=plan.kv_hi)
+            count_mask = np.zeros((self.B,), bool)
+            for r in decode_rows:
+                count_mask[r.slot] = True
+            for r in prefilling:
+                count_mask[r.slot] = r.prefill_pos >= len(r.prompt_ids)
             nxt = np.asarray(self.engine.sample(
-                logits, self._temp, self._topk, self._topp))
+                logits, self._temp, self._topk, self._topp,
+                extras=self._samp_arrays[3], count_mask=count_mask))
             for r in decode_rows:
                 self._accept_token(r, int(nxt[r.slot]))
             for r in prefilling:
@@ -119,8 +125,7 @@ class MultiHostScheduler(ContinuousBatchingScheduler):
             active_mask = np.array([r is not None and not r.finished
                                     for r in self.slots], bool)
             nxt = np.asarray(self.engine.decode_step(
-                self._last_token, active_mask,
-                (self._temp, self._topk, self._topp),
+                self._last_token, active_mask, self._samp_arrays,
                 kv_hi=plan.kv_hi))
             for slot in np.nonzero(active_mask)[0]:
                 req = self.slots[slot]

@@ -83,6 +83,15 @@ class ContinuousBatchingScheduler:
         self._temp = np.zeros((self.B,), np.float32)
         self._topk = np.ones((self.B,), np.int32)
         self._topp = np.ones((self.B,), np.float32)
+        self._minp = np.zeros((self.B,), np.float32)
+        self._rep = np.ones((self.B,), np.float32)
+        self._pres = np.zeros((self.B,), np.float32)
+        self._freq = np.zeros((self.B,), np.float32)
+
+    @property
+    def _samp_arrays(self):
+        return (self._temp, self._topk, self._topp,
+                (self._minp, self._rep, self._pres, self._freq))
 
     # ------------------------------------------------------------------
 
@@ -147,6 +156,10 @@ class ContinuousBatchingScheduler:
                                 else req.sampling.temperature)
             self._topk[slot] = req.sampling.top_k
             self._topp[slot] = req.sampling.top_p
+            self._minp[slot] = req.sampling.min_p
+            self._rep[slot] = req.sampling.repetition_penalty
+            self._pres[slot] = req.sampling.presence_penalty
+            self._freq[slot] = req.sampling.frequency_penalty
             admitted.append(req)
         return admitted
 
@@ -243,8 +256,14 @@ class ContinuousBatchingScheduler:
                     decode_rows.append(r)
                 call_slots.append(r.slot)
             logits = self.engine.prefill(chunks, slots=call_slots)
+            count_mask = np.zeros((self.B,), bool)
+            for r in decode_rows:
+                count_mask[r.slot] = True
+            for r in prefilling:                  # rows finishing prefill
+                count_mask[r.slot] = r.prefill_pos >= len(r.prompt_ids)
             nxt = np.asarray(self.engine.sample(
-                logits, self._temp, self._topk, self._topp))
+                logits, self._temp, self._topk, self._topp,
+                extras=self._samp_arrays[3], count_mask=count_mask))
             for r in decode_rows:
                 self._accept_token(r, int(nxt[r.slot]))
             for r in prefilling:
@@ -256,8 +275,7 @@ class ContinuousBatchingScheduler:
                                     for r in self.slots], bool)
             if active_mask.any():
                 nxt = np.asarray(self.engine.decode_step(
-                    self._last_token, active_mask,
-                    (self._temp, self._topk, self._topp)))
+                    self._last_token, active_mask, self._samp_arrays))
                 for slot in np.nonzero(active_mask)[0]:
                     req = self.slots[slot]
                     if req is not None:

@@ -141,6 +141,10 @@ class LLMServer:
             greedy=temperature == 0.0,
             top_p=float(body.get("top_p", 1.0)),
             top_k=int(body.get("top_k", 50)),
+            min_p=float(body.get("min_p", 0.0)),
+            repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
             max_new_tokens=int(body.get("max_tokens",
                                         body.get("max_completion_tokens",
                                                  128))),

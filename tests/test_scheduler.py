@@ -174,3 +174,25 @@ def test_latency_accounting():
     assert r.e2e_latency >= r.ttft
     rej = sched.submit(list(range(100)), SamplingParams())
     assert rej.finish_reason == "rejected" and rej.e2e_latency == 0.0
+
+
+def test_per_slot_penalties_isolated():
+    """Slot A runs with an extreme repetition penalty (all outputs
+    distinct), slot B without — and B's tokens are untouched by A's
+    penalty state (per-slot count planes)."""
+    engine = make_engine(batch=2)
+    sched = ContinuousBatchingScheduler(engine, eos_token_id=None)
+    a = sched.submit([5, 7, 5], SamplingParams(
+        greedy=True, max_new_tokens=6, repetition_penalty=1e9))
+    b = sched.submit([9, 8, 7], SamplingParams(greedy=True,
+                                               max_new_tokens=6))
+    sched.run()
+    out_a = a.output_ids
+    assert len(set(out_a) | {5, 7}) == len(out_a) + 2
+
+    solo = ContinuousBatchingScheduler(make_engine(batch=1),
+                                       eos_token_id=None)
+    rb = solo.submit([9, 8, 7], SamplingParams(greedy=True,
+                                               max_new_tokens=6))
+    solo.run()
+    assert b.output_ids == rb.output_ids
