@@ -433,12 +433,20 @@ def _decode_mxu_kernel(qs_ref, kl_ref, ly_ref, q_ref, k_ref, v_ref, ks_ref,
 def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
                           block_kv, interpret, k_scale=None, v_scale=None,
                           layer=None, kv_hi=None, embedded=False,
-                          window=None):
-    """q: [B, 1, H, D]; caches [(L,) B, S, Kst, D]. Attend-only (the cache
-    must already hold the current token). Returns [B, 1, H, D]."""
+                          window=None, table=None):
+    """q: [B, 1, H, D]; caches [(L,) B, S, Kst, D] — or, with ``table``
+    [B, max_pages] given, a paged pool [L, P, page, Kst, D] whose logical
+    kv block j lives at page table[b, j*bk // page] (ops/paged_kv.py).
+    Attend-only (the cache must already hold the current token). Returns
+    [B, 1, H, D]."""
     B, _, H, D = q.shape
+    paged = table is not None
     layered = layer is not None
-    Skv = k_cache.shape[2] if layered else k_cache.shape[1]
+    if paged:
+        page = k_cache.shape[2]
+        Skv = table.shape[1] * page
+    else:
+        Skv = k_cache.shape[2] if layered else k_cache.shape[1]
     Kst = k_cache.shape[-2]
     K = Kst - EMBED_PAD if embedded else Kst
     G = H // K
@@ -446,6 +454,11 @@ def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
     if kv_hi is not None:
         Skv = min(Skv, max(block_kv, round_up(kv_hi, block_kv)))
     bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
+    if paged:
+        bk = min(bk, page)
+        if page % bk:
+            bk = page
+        ppb = page // bk
     nkv = cdiv(Skv, bk)
     qr = q.reshape(B, H, D)
 
@@ -462,7 +475,19 @@ def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
             j = jnp.maximum(j, jnp.minimum(lo, last))
         return j
 
-    if layered:
+    if paged:
+        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+        prefetch.append(table.astype(jnp.int32))
+        np_ = 4
+
+        def kv_ix(b, j, qs, kl, ly, tb):
+            jj = clamp_j(j, kl, b)
+            return (ly[0], tb[b, (jj * bk) // page], jj % ppb, 0, 0)
+        sc_ix = None
+        kv_blk = (1, 1, bk, Kst, D)
+        sc_blk = None
+        q_ix = lambda b, j, qs, kl, ly, tb: (b, 0, 0)
+    elif layered:
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
         np_ = 3
         kv_ix = lambda b, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
@@ -493,7 +518,11 @@ def _attention_decode_mxu(q, k_cache, v_cache, q_start, kv_len, sm_scale,
     kern_base = functools.partial(
         _decode_mxu_kernel, sm_scale=sm_scale, block_kv=bk,
         num_kv_blocks=nkv, K=K, group=G, embedded=embedded, window=window)
-    if quant:
+    if paged:
+        kern = (lambda qs, kl, ly, tb, qq, k, v, o, qd, m, l, acc:
+                kern_base(qs, kl, ly, qq, k, v, None, None, o, qd, m, l,
+                          acc))
+    elif quant:
         kern = (lambda qs, kl, ly, qq, k, v, ks, vs, o, qd, m, l, acc:
                 kern_base(qs, kl, ly, qq, k, v, ks, vs, o, qd, m, l, acc)) \
             if layered else \
@@ -763,8 +792,12 @@ def can_fuse_decode_mxu(q_shape, cache, kernels: str) -> bool:
             and use_pallas(kernels) and not pallas_interpret())
 
 
-def _mk_kernel(quant, layered, **kw):
+def _mk_kernel(quant, layered, paged=False, **kw):
     """Bind the prefetch/scale ref layout into a kernel callable."""
+    if paged:
+        def kern(qs, kl, ly, tb, q, k, v, o, m, l, acc):
+            _attn_kernel(qs, kl, q, k, v, None, None, o, m, l, acc, **kw)
+        return kern
     if layered:
         if quant:
             def kern(qs, kl, ly, q, k, v, ks, vs, o, m, l, acc):
@@ -789,11 +822,16 @@ def _mk_kernel(quant, layered, **kw):
 def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
                       block_q, block_kv, interpret, k_scale=None,
                       v_scale=None, layer=None, kv_hi=None, embedded=False,
-                      window=None):
+                      window=None, table=None):
     B, Sq, H, D = q.shape
+    paged = table is not None
     layered = layer is not None
-    Skv, Kst = (k_cache.shape[2], k_cache.shape[3]) if layered else \
-        (k_cache.shape[1], k_cache.shape[2])
+    if paged:
+        page = k_cache.shape[2]           # pool [L, P, page, Kst, D]
+        Skv, Kst = table.shape[1] * page, k_cache.shape[3]
+    else:
+        Skv, Kst = (k_cache.shape[2], k_cache.shape[3]) if layered else \
+            (k_cache.shape[1], k_cache.shape[2])
     K = Kst - EMBED_PAD if embedded else Kst
     G = H // K
     rows = Sq * G
@@ -806,6 +844,11 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
 
     bq = rows if rows <= block_q else max(8, (block_q // 8) * 8)
     bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
+    if paged:
+        bk = min(bk, page)
+        if page % bk:
+            bk = page
+        ppb = page // bk
     nq = cdiv(rows, bq)
     nkv = cdiv(Skv, bk)
 
@@ -825,7 +868,16 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
         last = jnp.maximum((kl_ref[b] + bk - 1) // bk - 1, 0)
         return jnp.minimum(j, last)
 
-    if layered:
+    if paged:
+        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+        prefetch.append(table.astype(jnp.int32))
+        np_ = 4
+
+        def kv_ix(b, i, j, qs, kl, ly, tb):
+            jj = clamp_j(j, kl, b)
+            return (ly[0], tb[b, (jj * bk) // page], jj % ppb, 0, 0)
+        kv_blk = (1, 1, bk, Kst, D)
+    elif layered:
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
         np_ = 3
         kv_ix = lambda b, i, j, qs, kl, ly: (ly[0], b, clamp_j(j, kl, b), 0, 0)
@@ -860,10 +912,11 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
             pltpu.VMEM((K, bq, D), jnp.float32),
         ],
     )
-    kern = _mk_kernel(quant, layered, sm_scale=sm_scale, block_q=bq,
-                      block_kv=bk, group=G, causal=causal, num_kv_blocks=nkv,
-                      kv_lead=2 if layered else 1, embedded=embedded,
-                      window=window)
+    kern = _mk_kernel(quant, layered, paged=paged, sm_scale=sm_scale,
+                      block_q=bq, block_kv=bk, group=G, causal=causal,
+                      num_kv_blocks=nkv,
+                      kv_lead=2 if (layered or paged) else 1,
+                      embedded=embedded, window=window)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -879,7 +932,8 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
               sm_scale: float | None = None, block_q: int = 128,
               block_kv: int = 128, kernels: str = "auto", k_scale=None,
               v_scale=None, layer=None, kv_hi: int | None = None,
-              embedded_kv: bool = False, window: int | None = None):
+              embedded_kv: bool = False, window: int | None = None,
+              table=None):
     """Flash attention of q against the (already updated) KV cache.
 
     See attention_xla for shapes (token-major [.., Skv, K, D] cache).
@@ -892,6 +946,17 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
     (static) to bound the scanned kv prefix.
     """
     if not use_pallas(kernels):
+        if table is not None:
+            # golden paged path: gather the table into a dense view
+            from llm_inference_engine_tpu.ops.paged_kv import (
+                PagedKVCache, gather_layer_pages)
+            cache = PagedKVCache(k=k_cache, v=v_cache, block_table=table,
+                                 lengths=kv_len,
+                                 embedded_scales=embedded_kv)
+            kd, vd = gather_layer_pages(cache, layer)
+            return attention_xla(q, kd, vd, q_start, kv_len, causal=causal,
+                                 sm_scale=sm_scale, embedded_kv=embedded_kv,
+                                 window=window)
         return attention_xla(q, k_cache, v_cache, q_start, kv_len,
                              causal=causal, sm_scale=sm_scale,
                              k_scale=k_scale, v_scale=v_scale, layer=layer,
@@ -905,10 +970,10 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
             q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
             float(scale), block_kv, pallas_interpret(),
             k_scale=k_scale, v_scale=v_scale, layer=layer, kv_hi=kv_hi,
-            embedded=embedded_kv, window=window)
+            embedded=embedded_kv, window=window, table=table)
     return _attention_pallas(
         q, k_cache, v_cache,
         q_start.astype(jnp.int32), kv_len.astype(jnp.int32),
         causal, float(scale), block_q, block_kv, pallas_interpret(),
         k_scale=k_scale, v_scale=v_scale, layer=layer, kv_hi=kv_hi,
-        embedded=embedded_kv, window=window)
+        embedded=embedded_kv, window=window, table=table)
