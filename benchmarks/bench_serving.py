@@ -39,6 +39,12 @@ def main(argv=None) -> int:
                     help="mean arrival rate, req/s (Poisson)")
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--kv-layout", default="slot", choices=["slot", "paged"])
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--num-pages", type=int, default=0,
+                    help="paged pool size (0 = slot-equivalent); a large "
+                         "--batch with a bounded pool is the paged win: "
+                         "concurrency limited by tokens, not slots")
     ap.add_argument("--platform", default="")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -59,7 +65,10 @@ def main(argv=None) -> int:
     cfg = get_config(args.model)
     eng = EngineConfig(max_batch_size=args.batch,
                        max_seq_len=args.max_seq_len,
-                       quant_mode=args.quant)
+                       quant_mode=args.quant,
+                       kv_layout=args.kv_layout,
+                       page_size=args.page_size,
+                       num_pages=args.num_pages)
     engine = create_dummy_engine(args.model, eng, seed=args.seed)
     sched = ContinuousBatchingScheduler(engine, eos_token_id=None)
 

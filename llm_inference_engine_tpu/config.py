@@ -208,6 +208,14 @@ class EngineConfig:
     block_q: int = 128
     block_kv: int = 128
     decode_block_kv: int = 128
+    # paged KV cache (ops/paged_kv.py): "slot" = per-slot max_seq rows;
+    # "paged" = shared page pool + block tables (serving memory bounded by
+    # tokens in flight). num_pages=0 sizes the pool to the slot-cache
+    # equivalent (max_batch * max_seq / page) — set it lower to trade
+    # worst-case capacity for a smaller footprint, or higher for headroom.
+    kv_layout: str = "slot"
+    page_size: int = 64
+    num_pages: int = 0
 
     @property
     def kv_cache_dtype(self):

@@ -115,6 +115,32 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         k_new = jnp.pad(k_new, pad4)
         v_new = jnp.pad(v_new, pad4)
 
+    from llm_inference_engine_tpu.ops.paged_kv import (
+        PagedKVCache, paged_update_at_layer)
+    if isinstance(cache, PagedKVCache):
+        # paged path: block-table writes + table-indirected attention
+        # (same kernels, paged index maps — ops/paged_kv.py)
+        cache = paged_update_at_layer(cache, layer_idx, k_new, v_new,
+                                      q_start, new_len=kv_len - q_start,
+                                      kernels=kernels)
+        bkv = eng.decode_block_kv if T == 1 else eng.block_kv
+        attn_out = attention(q, cache.k, cache.v, q_start, kv_len,
+                             causal=True, sm_scale=sm_scale,
+                             block_q=eng.block_q, block_kv=bkv,
+                             kernels=kernels, layer=layer_idx, kv_hi=kv_hi,
+                             embedded_kv=cache.embedded_scales,
+                             window=cfg.sliding_window,
+                             table=cache.block_table)
+        attn_out = attn_out.reshape(B, T, cfg.q_size)
+        attn_out = reduce_partial(lin("wo", attn_out))
+        ffn_in, resid = add_residual_rmsnorm(
+            attn_out, x, layer["ffn_norm"], cfg.rms_norm_eps,
+            kernels=kernels)
+        gate_up = lin("w_gate_up", ffn_in)
+        act = silu_and_mul(gate_up, kernels=kernels)
+        down = reduce_partial(lin("w_down", act))
+        return add_residual(down, resid, kernels=kernels), cache
+
     from llm_inference_engine_tpu.ops.attention import (
         attention_decode_fused_mxu, can_fuse_decode_mxu)
     if model_axis is None and can_fuse_decode_mxu(q.shape, cache, kernels):

@@ -158,13 +158,16 @@ def _paged_write_kernel(starts_ref, nlen_ref, layer_ref, table_ref,
     off = pos % page
 
     @pl.when(n > 1)
-    def _chunk():       # page-aligned by the engine invariant (off == 0)
+    def _chunk():
+        # engine invariant: multi-token writes start at a multiple of the
+        # chunk size C, with T <= C and page % C == 0 — so [off, off+T)
+        # never crosses the page boundary
         copies = [
             pltpu.make_async_copy(knew_ref.at[0],
-                                  kout_ref.at[ly, p, pl.ds(0, T)],
+                                  kout_ref.at[ly, p, pl.ds(off, T)],
                                   sem.at[0]),
             pltpu.make_async_copy(vnew_ref.at[0],
-                                  vout_ref.at[ly, p, pl.ds(0, T)],
+                                  vout_ref.at[ly, p, pl.ds(off, T)],
                                   sem.at[1]),
         ]
         for c in copies:

@@ -73,17 +73,45 @@ class InferenceEngine:
             mesh = make_mesh(dp=eng.dp, tp=eng.tp)
         self.mesh = mesh
 
-        cache = kvc.new_kv_cache(
-            config.num_layers, engine_config.max_batch_size,
-            config.num_kv_heads, engine_config.max_seq_len, config.head_dim,
-            dtype=config.dtype,
-            quantized=engine_config.kv_cache_dtype == jnp.int8,
-            # embedded scale rows and tile padding are single-device only
-            # (sharding the padded head axis would split pad rows / the
-            # scale row across devices); None = auto (the model layer
-            # adapts to a padded cache)
-            embedded=False if (mesh is not None) else None,
-            pad_to_tiles=False if (mesh is not None) else None)
+        self.paged = eng.kv_layout == "paged"
+        if self.paged:
+            from llm_inference_engine_tpu.ops import paged_kv as pkv
+            if mesh is not None:
+                raise NotImplementedError(
+                    "paged KV cache is single-device for now")
+            page = eng.page_size
+            # multi-token writes must stay within one page: chunk size
+            # divides the page (ops/paged_kv.py write invariant)
+            C = max(1, eng.max_prefill_len)
+            if C > page:
+                engine_config = eng = eng.replace(max_prefill_len=page)
+            elif page % C:
+                raise ValueError(f"page_size {page} must be a multiple of "
+                                 f"max_prefill_len {C}")
+            self.engine_config = eng
+            B = eng.max_batch_size
+            maxp = -(-eng.max_seq_len // page)
+            num_pages = eng.num_pages or (B * maxp + 1)   # +1: reserved 0
+            cache = pkv.new_paged_kv_cache(
+                config.num_layers, B, config.num_kv_heads, num_pages, page,
+                config.head_dim, maxp, dtype=config.dtype,
+                quantized=eng.kv_cache_dtype == jnp.int8)
+            self._allocator = pkv.PageAllocator(num_pages)
+            self._slot_pages: list[list[int]] = [[] for _ in range(B)]
+            self._table_host = np.zeros((B, maxp), np.int32)
+        else:
+            cache = kvc.new_kv_cache(
+                config.num_layers, engine_config.max_batch_size,
+                config.num_kv_heads, engine_config.max_seq_len,
+                config.head_dim,
+                dtype=config.dtype,
+                quantized=engine_config.kv_cache_dtype == jnp.int8,
+                # embedded scale rows and tile padding are single-device
+                # only (sharding the padded head axis would split pad rows
+                # / the scale row across devices); None = auto (the model
+                # layer adapts to a padded cache)
+                embedded=False if (mesh is not None) else None,
+                pad_to_tiles=False if (mesh is not None) else None)
 
         if mesh is not None:
             from llm_inference_engine_tpu.parallel import sharding
@@ -243,6 +271,48 @@ class InferenceEngine:
         hi = -(-hi // bucket) * bucket
         return int(min(self.engine_config.max_seq_len, hi))
 
+    # -- paged-mode page management (host-side; ops/paged_kv.py) ---------
+
+    @property
+    def free_pages(self) -> int:
+        return self._allocator.free_pages if self.paged else 1 << 30
+
+    def pages_needed(self, n_tokens: int) -> int:
+        page = self.engine_config.page_size
+        return -(-max(n_tokens, 0) // page)
+
+    def _release_pages(self, slots: Sequence[int]) -> None:
+        changed = False
+        for b in slots:
+            if self._slot_pages[b]:
+                self._allocator.free(self._slot_pages[b])
+                self._slot_pages[b] = []
+                self._table_host[b, :] = 0
+                changed = True
+        if changed:
+            self.cache = dataclasses.replace(
+                self.cache, block_table=jnp.asarray(self._table_host))
+
+    def ensure_capacity(self, targets) -> None:
+        """Grow each slot's page list to cover ``targets`` [B] tokens
+        (host-side allocator + block-table update). Raises MemoryError on
+        pool exhaustion — callers (the scheduler) preempt on that."""
+        if not self.paged:
+            return
+        page = self.engine_config.page_size
+        changed = False
+        for b, t in enumerate(np.asarray(targets)):
+            need = self.pages_needed(int(t))
+            have = len(self._slot_pages[b])
+            if need > have:
+                new = self._allocator.alloc(need - have)
+                self._table_host[b, have:have + len(new)] = new
+                self._slot_pages[b].extend(new)
+                changed = True
+        if changed:
+            self.cache = dataclasses.replace(
+                self.cache, block_table=jnp.asarray(self._table_host))
+
     def reset(self, slots: Optional[Sequence[int]] = None):
         """Clear history (all slots, or specific ones)."""
         if slots is None:
@@ -250,6 +320,8 @@ class InferenceEngine:
                 self.cache, lengths=jnp.zeros_like(self.cache.lengths))
             self._counts_ctx = jnp.zeros_like(self._counts_ctx)
             self._counts_gen = jnp.zeros_like(self._counts_gen)
+            if self.paged:
+                self._release_pages(range(self.engine_config.max_batch_size))
         else:
             lengths = np.array(self.cache.lengths)  # writable copy
             lengths[list(slots)] = 0
@@ -258,6 +330,8 @@ class InferenceEngine:
             rows = jnp.asarray(list(slots), jnp.int32)
             self._counts_ctx = self._counts_ctx.at[rows].set(0)
             self._counts_gen = self._counts_gen.at[rows].set(0)
+            if self.paged:
+                self._release_pages(list(slots))
 
     def prefill(self, prompts: Sequence[Sequence[int]],
                 slots: Optional[Sequence[int]] = None,
@@ -320,6 +394,7 @@ class InferenceEngine:
             q_start = self.cache.lengths
             kv_hi_r = (kv_hi if kv_hi is not None
                        else self._kv_watermark(lengths_host + chunk_lens, 0))
+            self.ensure_capacity(lengths_host + chunk_lens)
             kv_len = q_start + jnp.asarray(chunk_lens)
             logits, self.cache, self._counts_ctx = self._prefill_fn(
                 self.params, self.cache, self._counts_ctx,
@@ -399,7 +474,11 @@ class InferenceEngine:
         if extras is None:
             extras = self._neutral_extras()
         self._key, sub = jax.random.split(self._key)
+        active_host = np.asarray(active).astype(np.int32)
         active = jnp.asarray(active)
+        if self.paged:
+            self.ensure_capacity(
+                np.asarray(jax.device_get(self.cache.lengths)) + active_host)
         if kv_hi is None:
             kv_hi = self._kv_watermark(
                 np.asarray(jax.device_get(self.cache.lengths)), 1)
@@ -415,6 +494,9 @@ class InferenceEngine:
         call (lax.scan over steps). Returns [num_steps, B] token ids.
         Used by benchmarks and batch completion; per-token streaming uses
         decode_step instead."""
+        if self.paged:   # device-side loops cannot allocate: pre-reserve
+            self.ensure_capacity(
+                np.asarray(jax.device_get(self.cache.lengths)) + num_steps)
         kv_hi = self._kv_watermark(
             np.asarray(jax.device_get(self.cache.lengths)), num_steps)
         toks, self.cache = self._rollout_fn(
@@ -469,6 +551,10 @@ class InferenceEngine:
             # no streaming: whole tail in ONE device call (sampled rollout,
             # device-side eos/capacity, early exit when all rows stop)
             num_steps = _bucket_len(steps, floor=16)
+            if self.paged:   # pre-reserve the rollout's worst case
+                lh = np.asarray(jax.device_get(self.cache.lengths))
+                self.ensure_capacity(
+                    np.minimum(lh + np.where(done, 0, steps), max_room + 1))
             kv_hi = self._kv_watermark(
                 np.asarray(jax.device_get(self.cache.lengths)), steps)
             stop_arr = jnp.asarray(sorted(stop_ids) or [-2], jnp.int32)

@@ -45,6 +45,13 @@ class MultiHostScheduler(ContinuousBatchingScheduler):
     """ContinuousBatchingScheduler with every step gated on the cross-host
     StepPlan. See module docstring (shape 2)."""
 
+    def __init__(self, engine, eos_token_id=2, prefix_store=None):
+        if getattr(engine, "paged", False):
+            raise NotImplementedError(
+                "paged KV + lockstep multihost scheduling: preemption and "
+                "page allocation are host-local; use the DP router shape")
+        super().__init__(engine, eos_token_id, prefix_store)
+
     def step(self) -> list[Request]:
         """One lockstep step. Program choice is GLOBAL: the agreed plan
         decides whether every host runs the mixed chunked-prefill program

@@ -100,6 +100,9 @@ def snapshot_prefix(cache, slot: int, length: int) -> PrefixEntry:
 def restore_prefix(cache, slot: int, entry: PrefixEntry):
     """Return a cache with ``entry``'s rows copied into ``slot`` and the
     slot's length set to the prefix length."""
+    if not hasattr(cache, "max_seq_len") or hasattr(cache, "block_table"):
+        raise NotImplementedError(
+            "prefix caching requires the slot KV layout (kv_layout='slot')")
     with_scales = entry.k_scale is not None
     k, v, ks, vs, lengths = _restore_kv(
         cache.k, cache.v, cache.k_scale, cache.v_scale,

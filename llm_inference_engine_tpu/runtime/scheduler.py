@@ -48,6 +48,7 @@ class Request:
     slot: int = -1
     prefill_pos: Optional[int] = None  # mid-prefill progress (chunked admit)
     reused_prefix_len: int = 0         # prompt tokens served from PrefixStore
+    preemptions: int = 0               # paged-pool recompute preemptions
     # serving latency accounting (time.monotonic seconds)
     submit_time: float = 0.0
     first_token_time: Optional[float] = None
@@ -142,12 +143,28 @@ class ContinuousBatchingScheduler:
             s.add(self.eos_token_id)
         return s
 
+    def _full_context(self, req: Request) -> list[int]:
+        """Tokens to prefill: the prompt plus anything already generated
+        (non-empty only after a paged-pool preemption, which recomputes)."""
+        return req.prompt_ids + req.output_ids
+
     def _assign_slots(self) -> list[Request]:
         """Move waiting requests into free slots and mirror their sampling
-        params (shared by the single-host and multi-host schedulers)."""
+        params (shared by the single-host and multi-host schedulers).
+        Paged engines also gate admission on pool capacity (the whole
+        prompt + one decode page must fit)."""
         free = [i for i, r in enumerate(self.slots) if r is None]
         admitted: list[Request] = []
+        paged = getattr(self.engine, "paged", False)
+        budget = self.engine.free_pages if paged else 0
         while free and self.waiting:
+            if paged:
+                head = self.waiting[0]
+                need = self.engine.pages_needed(
+                    len(self._full_context(head)) + 1)
+                if need > budget:
+                    break
+                budget -= need
             req = self.waiting.popleft()
             slot = free.pop(0)
             req.slot = slot
@@ -191,13 +208,56 @@ class ContinuousBatchingScheduler:
         elif (len(req.prompt_ids) + len(req.output_ids) >= self.max_seq - 1):
             self._finish(req, "capacity")
 
+    def _preempt(self, req: Request) -> None:
+        """Evict a live request from its slot back to the FRONT of the
+        waiting queue (vLLM-style recompute preemption): its pages free
+        immediately; on re-admission the prompt PLUS already-generated
+        tokens re-prefill and generation continues where it stopped."""
+        slot = req.slot
+        req.slot = -1
+        req.prefill_pos = None
+        req.preemptions += 1
+        self.slots[slot] = None
+        self.engine.reset([slot])
+        self.waiting.appendleft(req)
+
+    def _fit_or_preempt(self) -> None:
+        """Paged engines: make this step's worst-case page demand fit the
+        pool by preempting the newest live requests (recompute); a lone
+        request that cannot fit finishes with reason 'capacity'."""
+        if not getattr(self.engine, "paged", False):
+            return
+        eng = self.engine
+        C = max(1, eng.engine_config.max_prefill_len)
+        while True:
+            live = [r for r in self.slots if r is not None]
+            if not live:
+                return
+            extra = 0
+            for r in live:
+                ctx = len(self._full_context(r))
+                target = (min(r.prefill_pos + C, ctx)
+                          if r.prefill_pos is not None else ctx + 1)
+                extra += max(0, eng.pages_needed(target)
+                             - len(eng._slot_pages[r.slot]))
+            if extra <= eng.free_pages:
+                return
+            victim = max(live, key=lambda r: r.id)
+            if len(live) == 1:
+                self._finish(victim, "capacity")
+                return
+            self._preempt(victim)
+
     def _finish(self, req: Request, reason: str) -> None:
         req.finished = True
         req.finish_reason = req.finish_reason or reason
         req.finish_time = time.monotonic()
         if req.slot >= 0:
-            self.slots[req.slot] = None
+            slot = req.slot
+            self.slots[slot] = None
             req.slot = -1
+            if getattr(self.engine, "paged", False):
+                self.engine.reset([slot])   # release pages immediately
 
     # ------------------------------------------------------------------
 
@@ -226,9 +286,11 @@ class ContinuousBatchingScheduler:
             r.prefill_pos = 0
         if admitted:
             self.engine.reset([r.slot for r in admitted])
-            if self.prefix_store is not None:
+            if (self.prefix_store is not None
+                    and not getattr(self.engine, "paged", False)):
                 # shared-prefix reuse: restore the snapshot's KV rows into
-                # the slot and prefill only the tail (prefix_cache.py)
+                # the slot and prefill only the tail (prefix_cache.py;
+                # slot layout only — paged restore is future work)
                 for r in admitted:
                     entry = self.prefix_store.match(r.prompt_ids)
                     if entry is not None:
@@ -237,6 +299,7 @@ class ContinuousBatchingScheduler:
                         r.reused_prefix_len = entry.length
         done += [r for r in admitted if r.finished]
 
+        self._fit_or_preempt()
         prefilling = [r for r in self.slots
                       if r is not None and r.prefill_pos is not None]
         if prefilling:
@@ -248,7 +311,8 @@ class ContinuousBatchingScheduler:
                 if r is None:
                     continue
                 if r.prefill_pos is not None:
-                    chunk = r.prompt_ids[r.prefill_pos:r.prefill_pos + C]
+                    ctx = self._full_context(r)
+                    chunk = ctx[r.prefill_pos:r.prefill_pos + C]
                     r.prefill_pos += len(chunk)
                     chunks.append(chunk)
                 else:
@@ -260,16 +324,18 @@ class ContinuousBatchingScheduler:
             for r in decode_rows:
                 count_mask[r.slot] = True
             for r in prefilling:                  # rows finishing prefill
-                count_mask[r.slot] = r.prefill_pos >= len(r.prompt_ids)
+                count_mask[r.slot] = (
+                    r.prefill_pos >= len(self._full_context(r)))
             nxt = np.asarray(self.engine.sample(
                 logits, self._temp, self._topk, self._topp,
                 extras=self._samp_arrays[3], count_mask=count_mask))
             for r in decode_rows:
                 self._accept_token(r, int(nxt[r.slot]))
             for r in prefilling:
-                if r.prefill_pos >= len(r.prompt_ids):
-                    r.prefill_pos = None          # prompt fully consumed:
-                    self._accept_token(r, int(nxt[r.slot]))  # first token
+                if (r.prefill_pos is not None
+                        and r.prefill_pos >= len(self._full_context(r))):
+                    r.prefill_pos = None          # context fully consumed:
+                    self._accept_token(r, int(nxt[r.slot]))  # next token
         else:
             active_mask = np.array([r is not None and not r.finished
                                     for r in self.slots], bool)

@@ -332,6 +332,9 @@ def main(argv=None) -> int:
     ap.add_argument("--kv-cache-dtype", choices=["", "int8"], default="")
     ap.add_argument("--max-batch-size", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--kv-layout", default="slot", choices=["slot", "paged"])
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--num-pages", type=int, default=0)
     ap.add_argument("--chat-template", default="auto")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
@@ -351,7 +354,9 @@ def main(argv=None) -> int:
 
     eng = EngineConfig(max_batch_size=args.max_batch_size,
                        max_seq_len=args.max_seq_len, quant_mode=args.quant,
-                       kv_cache_dtype_name=args.kv_cache_dtype)
+                       kv_cache_dtype_name=args.kv_cache_dtype,
+                       kv_layout=args.kv_layout, page_size=args.page_size,
+                       num_pages=args.num_pages)
     engine = create_engine(args.model, args.checkpoint, eng)
     if args.tokenizer or args.checkpoint:
         from llm_inference_engine_tpu.tokenizer import load_tokenizer

@@ -50,13 +50,14 @@ def test_paged_write_matches_dense(rng, path):
     ref_v = np.zeros((L, B, S, K, D), np.float32)
 
     writes = [
-        # (starts, nlen) — page-aligned chunk rows + single-token rows
-        (np.array([0, 16, 0], np.int32), np.array([16, 16, 0], np.int32)),
-        (np.array([16, 32, 0], np.int32), np.array([1, 1, 16], np.int32)),
-        (np.array([17, 33, 16], np.int32), np.array([1, 1, 1], np.int32)),
+        # (starts, nlen, T) — C-aligned chunk rows (C=8, page=16: offsets 0
+        # and 8 within a page) + single-token rows at arbitrary offsets
+        (np.array([0, 16, 0], np.int32), np.array([8, 8, 0], np.int32), 8),
+        (np.array([8, 24, 0], np.int32), np.array([8, 8, 8], np.int32), 8),
+        (np.array([16, 32, 8], np.int32), np.array([1, 1, 3], np.int32), 8),
+        (np.array([17, 33, 11], np.int32), np.array([1, 1, 1], np.int32), 1),
     ]
-    for step, (starts, nlen) in enumerate(writes):
-        T = int(nlen.max())
+    for step, (starts, nlen, T) in enumerate(writes):
         for l in range(L):
             nk = rng.standard_normal((B, T, K, D)).astype(np.float32)
             nv = rng.standard_normal((B, T, K, D)).astype(np.float32)
@@ -71,7 +72,7 @@ def test_paged_write_matches_dense(rng, path):
                 ref_v[l, b, s0:s0 + n] = nv[b, :n]
 
     kd, vd = _dense_of(cache)
-    lengths = np.array([18, 34, 17])
+    lengths = np.array([18, 34, 12])
     for b in range(B):
         n = lengths[b]
         np.testing.assert_allclose(np.asarray(kd)[:, b, :n], ref_k[:, b, :n],
@@ -163,3 +164,131 @@ def test_allocator():
         a.alloc(7)
     with pytest.raises(ValueError):
         a.free([0])
+
+
+# ---------------------------------------------------------------------------
+# engine-level parity: paged engine == slot engine, token for token
+# ---------------------------------------------------------------------------
+
+def _engine(layout, **kw):
+    from llm_inference_engine_tpu.config import EngineConfig, get_config
+    from llm_inference_engine_tpu.models.weights import init_dummy_params
+    from llm_inference_engine_tpu.runtime.engine import InferenceEngine
+    cfg = get_config("debug")
+    eng = EngineConfig(max_batch_size=2, max_seq_len=64, kernels="xla",
+                       max_prefill_len=8, kv_layout=layout, page_size=16,
+                       **kw)
+    return InferenceEngine(cfg, eng, init_dummy_params(cfg, seed=0))
+
+
+def test_paged_engine_generate_matches_slot():
+    from llm_inference_engine_tpu.config import SamplingParams
+    sp = SamplingParams(greedy=True, max_new_tokens=10)
+    prompts = [list(range(1, 20)), [9, 8, 7]]     # chunked (C=8) + short
+    slot = _engine("slot").generate(prompts, sp, eos_token_id=None)
+    paged_eng = _engine("paged")
+    paged = paged_eng.generate(prompts, sp, eos_token_id=None)
+    assert paged.token_ids == slot.token_ids
+    # pages were actually allocated page-by-page (19+10=29 -> 2 pages,
+    # 3+10=13 -> 1 page)
+    assert [len(p) for p in paged_eng._slot_pages] == [2, 1]
+    # reset releases every page back to the pool
+    free0 = paged_eng._allocator.num_pages - 1
+    paged_eng.reset()
+    assert paged_eng.free_pages == free0
+
+
+def test_paged_engine_streaming_decode_matches_slot():
+    from llm_inference_engine_tpu.config import SamplingParams
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+    cb_tokens = []
+    slot = _engine("slot").generate(
+        [[1, 2, 3]], sp, eos_token_id=None,
+        stream_callback=lambda i, t: None)
+    paged = _engine("paged").generate(
+        [[1, 2, 3]], sp, eos_token_id=None,
+        stream_callback=lambda i, t: cb_tokens.append(t))
+    assert paged.token_ids == slot.token_ids
+    assert cb_tokens == paged.token_ids[0]
+
+
+def test_paged_pool_exhaustion_raises():
+    eng = _engine("paged", num_pages=3)          # page 0 reserved -> 2 usable
+    from llm_inference_engine_tpu.config import SamplingParams
+    with pytest.raises(MemoryError):
+        eng.generate([list(range(1, 40))],       # 39 tokens -> 3+ pages
+                     SamplingParams(greedy=True, max_new_tokens=4),
+                     eos_token_id=None)
+
+
+# ---------------------------------------------------------------------------
+# scheduler-level: paged serving parity, admission gating, preemption
+# ---------------------------------------------------------------------------
+
+def _sched(layout, **kw):
+    from llm_inference_engine_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler)
+    return ContinuousBatchingScheduler(_engine(layout, **kw),
+                                       eos_token_id=None)
+
+
+def test_paged_scheduler_matches_slot_under_load():
+    from llm_inference_engine_tpu.config import SamplingParams
+    sp = SamplingParams(greedy=True, max_new_tokens=7)
+    prompts = [[1 + i, 2 + i, 3 + i, 4 + i] for i in range(5)] \
+        + [list(range(10, 30))]                   # + one chunked prompt
+    slot = _sched("slot")
+    rs = [slot.submit(p, sp) for p in prompts]
+    slot.run()
+    paged = _sched("paged")
+    rp = [paged.submit(p, sp) for p in prompts]
+    paged.run()
+    assert [r.output_ids for r in rp] == [r.output_ids for r in rs]
+    # every page returned to the pool once all requests finished
+    assert paged.engine.free_pages == paged.engine._allocator.num_pages - 1
+
+
+def test_paged_preemption_recompute_parity():
+    """A pool too small for both requests' full lengths forces recompute
+    preemption; outputs still match the slot engine exactly and the
+    preempted request reports it."""
+    from llm_inference_engine_tpu.config import SamplingParams
+    sp = SamplingParams(greedy=True, max_new_tokens=20)
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8], [9, 8, 7, 6, 5, 4, 3, 2]]
+
+    slot = _sched("slot")
+    rs = [slot.submit(p, sp) for p in prompts]
+    slot.run()
+
+    # each request needs ceil((8+20+1)/16)=2 pages eventually; 3 usable
+    # pages cannot host both -> the newer request gets preempted
+    paged = _sched("paged", num_pages=4)
+    rp = [paged.submit(p, sp) for p in prompts]
+    paged.run(max_steps=500)
+    assert [r.output_ids for r in rp] == [r.output_ids for r in rs]
+    assert rp[1].preemptions > 0
+    assert rp[0].preemptions == 0
+    assert paged.engine.free_pages == 3
+
+
+def test_paged_admission_waits_for_pages():
+    from llm_inference_engine_tpu.config import SamplingParams
+    sp = SamplingParams(greedy=True, max_new_tokens=4)
+    paged = _sched("paged", num_pages=3)          # 2 usable pages
+    a = paged.submit(list(range(1, 17)), sp)      # 16 tokens -> 2 pages
+    b = paged.submit(list(range(1, 17)), sp)      # must wait for a's pages
+    paged.step()
+    assert a.slot >= 0 and b.slot == -1           # b gated at admission
+    paged.run(max_steps=500)
+    assert a.finished and b.finished
+    assert len(a.output_ids) == 4 and a.output_ids == b.output_ids
+
+
+def test_paged_single_oversized_request_finishes_capacity():
+    from llm_inference_engine_tpu.config import SamplingParams
+    paged = _sched("paged", num_pages=2)          # 1 usable page (16 tok)
+    r = paged.submit([1, 2, 3],
+                     SamplingParams(greedy=True, max_new_tokens=40))
+    paged.run(max_steps=500)
+    assert r.finished and r.finish_reason == "capacity"
+    assert len(r.output_ids) <= 13
