@@ -394,7 +394,19 @@ class InferenceEngine:
             q_start = self.cache.lengths
             kv_hi_r = (kv_hi if kv_hi is not None
                        else self._kv_watermark(lengths_host + chunk_lens, 0))
-            self.ensure_capacity(lengths_host + chunk_lens)
+            if self.paged:
+                # the paged write kernel's chunk DMA must stay within one
+                # page: multi-token writes start at a multiple of C
+                # (guaranteed for prompts admitted from 0; multi-round
+                # append at arbitrary history needs the slot layout)
+                bad = (chunk_lens > 1) & (lengths_host % C != 0)
+                if bad.any():
+                    raise ValueError(
+                        "paged KV: multi-token prefill must start at a "
+                        f"multiple of max_prefill_len={C} (slots "
+                        f"{np.nonzero(bad)[0].tolist()} are mid-page); "
+                        "use kv_layout='slot' for arbitrary-offset appends")
+                self.ensure_capacity(lengths_host + chunk_lens)
             kv_len = q_start + jnp.asarray(chunk_lens)
             logits, self.cache, self._counts_ctx = self._prefill_fn(
                 self.params, self.cache, self._counts_ctx,
