@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant", choices=["none", "int8", "int4"],
                    default="none")
     p.add_argument("--kv-cache-dtype", choices=["", "int8"], default="")
+    p.add_argument("--kv-layout", choices=["slot", "paged"], default="slot")
+    p.add_argument("--page-size", type=int, default=64)
+    p.add_argument("--num-pages", type=int, default=0)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--system-prompt", default="")
@@ -98,7 +101,8 @@ def main(argv=None) -> int:
     eng = EngineConfig(
         max_batch_size=args.max_batch_size, max_seq_len=args.max_seq_len,
         quant_mode=args.quant, kv_cache_dtype_name=args.kv_cache_dtype,
-        dp=args.dp, tp=args.tp)
+        dp=args.dp, tp=args.tp, kv_layout=args.kv_layout,
+        page_size=args.page_size, num_pages=args.num_pages)
     print(f"loading {args.model} "
           f"({'dummy weights' if args.dummy_weights else args.checkpoint}, "
           f"quant={args.quant}) ...", flush=True)

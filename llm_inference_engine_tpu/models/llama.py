@@ -115,6 +115,8 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         k_new = jnp.pad(k_new, pad4)
         v_new = jnp.pad(v_new, pad4)
 
+    from llm_inference_engine_tpu.ops.attention import (
+        attention_decode_fused_mxu, can_fuse_decode_mxu)
     from llm_inference_engine_tpu.ops.paged_kv import (
         PagedKVCache, paged_update_at_layer)
     if isinstance(cache, PagedKVCache):
@@ -131,19 +133,7 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
                              embedded_kv=cache.embedded_scales,
                              window=cfg.sliding_window,
                              table=cache.block_table)
-        attn_out = attn_out.reshape(B, T, cfg.q_size)
-        attn_out = reduce_partial(lin("wo", attn_out))
-        ffn_in, resid = add_residual_rmsnorm(
-            attn_out, x, layer["ffn_norm"], cfg.rms_norm_eps,
-            kernels=kernels)
-        gate_up = lin("w_gate_up", ffn_in)
-        act = silu_and_mul(gate_up, kernels=kernels)
-        down = reduce_partial(lin("w_down", act))
-        return add_residual(down, resid, kernels=kernels), cache
-
-    from llm_inference_engine_tpu.ops.attention import (
-        attention_decode_fused_mxu, can_fuse_decode_mxu)
-    if model_axis is None and can_fuse_decode_mxu(q.shape, cache, kernels):
+    elif model_axis is None and can_fuse_decode_mxu(q.shape, cache, kernels):
         # fused MXU decode: one kernel writes the token's K/V (aliased DMA)
         # and attends history + current via the block-diagonal MXU path —
         # saves a Pallas invocation per layer and never touches the kv

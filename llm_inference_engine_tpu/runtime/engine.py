@@ -611,6 +611,23 @@ class InferenceEngine:
                     if stream_callback:
                         stream_callback(i, t)
 
+        # A length-terminated row's FINAL sampled token was never fed back,
+        # so its K/V is absent from the cache; top it up with a one-token
+        # prefill so multi-round appends see the full conversation (pinned
+        # by the flat-replay logits parity test). EOS-terminated rows are
+        # complete already (the stop token is not part of the history).
+        lengths_now = np.asarray(jax.device_get(self.cache.lengths))
+        pending = [i for i in range(nseq)
+                   if out[i] and not done[i]
+                   and lengths_now[i] == len(prompts[i]) + len(out[i]) - 1]
+        if pending:
+            self.prefill([[out[i][-1]] for i in pending], slots=pending)
+            # the token was already counted when sampled; undo the
+            # prefill's context-count increment (exact bookkeeping)
+            rows = jnp.asarray(pending, jnp.int32)
+            toks = jnp.asarray([out[i][-1] for i in pending], jnp.int32)
+            self._counts_ctx = self._counts_ctx.at[rows, toks].add(-1)
+
         return GenerationResult(
             token_ids=out,
             num_prompt_tokens=[len(p) for p in prompts],

@@ -66,6 +66,14 @@ class ChatSession:
         input_ids = self.make_input(user_input)
         prompt_history = self.token_history + input_ids
 
+        if getattr(self.engine, "paged", False) and self.token_history:
+            # paged pools take multi-token writes only at page-aligned
+            # starts; re-prefill the full accumulated context from 0 each
+            # round (exactly the reference's makeHistory behavior,
+            # llama.cpp:137-155) instead of appending mid-page
+            self.engine.reset([self.slot])
+            input_ids = list(prompt_history)
+
         pieces: list[str] = []
 
         def on_token(_slot: int, token_id: int) -> None:

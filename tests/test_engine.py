@@ -79,6 +79,24 @@ def test_multi_round_history(engine):
     r_flat = engine.generate([flat], sp, eos_token_id=None)
     assert r2.token_ids[0] == r_flat.token_ids[0]
 
+    # stronger than token equality: the round-2 LOGITS must equal the flat
+    # replay's (regression: a length-terminated round's final token was
+    # silently missing from the cache, skewing every later round)
+    def fresh():
+        return InferenceEngine(
+            CFG, EngineConfig(max_batch_size=1, max_seq_len=64,
+                              kernels="xla"),
+            init_dummy_params(CFG, seed=0))
+
+    e1, e2 = fresh(), fresh()
+    ra = e1.generate([[1, 2, 3]], sp, eos_token_id=None)
+    assert int(np.asarray(e1.cache.lengths)[0]) == 3 + len(ra.token_ids[0])
+    l_inc = e1.prefill([round2_prompt], slots=[0])
+    l_flat = e2.prefill([[1, 2, 3] + ra.token_ids[0] + round2_prompt],
+                        slots=[0])
+    np.testing.assert_allclose(np.asarray(l_inc), np.asarray(l_flat),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_sampled_generation_runs(engine):
     engine.reset()

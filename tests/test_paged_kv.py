@@ -345,3 +345,35 @@ def test_paged_multi_round_append_rejected():
                  eos_token_id=None)
     with pytest.raises(ValueError, match="multiple of max_prefill_len"):
         eng.prefill([list(range(1, 12))], slots=[0])   # mid-page append
+
+
+def test_paged_router_and_chat_session():
+    """DP-router serving over paged per-host schedulers, and multi-round
+    chat on a paged engine (full-context re-prefill each round matches the
+    slot engine's KV-append rounds token for token)."""
+    from llm_inference_engine_tpu.cli import _IdTokenizer
+    from llm_inference_engine_tpu.config import SamplingParams
+    from llm_inference_engine_tpu.runtime.multihost_scheduler import (
+        RequestRouter)
+    from llm_inference_engine_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler)
+    from llm_inference_engine_tpu.runtime.session import ChatSession
+
+    sp = SamplingParams(greedy=True, max_new_tokens=5)
+    router = RequestRouter([
+        ContinuousBatchingScheduler(_engine("paged"), eos_token_id=None)
+        for _ in range(2)])
+    reqs = [router.submit([3 + i, 5, 7], sp) for i in range(5)]
+    router.run()
+    assert all(len(r.output_ids) == 5 for r in reqs)
+
+    tok = _IdTokenizer(256)
+    answers = {}
+    for layout in ("slot", "paged"):
+        s = ChatSession(_engine(layout), tok)
+        a1 = s.response("5 9", SamplingParams(greedy=True,
+                                              max_new_tokens=4))
+        a2 = s.response("11 13", SamplingParams(greedy=True,
+                                                max_new_tokens=4))
+        answers[layout] = (a1, a2)
+    assert answers["paged"] == answers["slot"]
