@@ -1,0 +1,242 @@
+"""On-chip validation of the compiled Pallas paths against XLA goldens.
+
+Interpret mode can't see Mosaic-only failures (tiling, DMA legality,
+layout rules), so every kernel family gets one compiled run on the real
+chip compared against its XLA golden at production-like shapes:
+
+    python benchmarks/validate_tpu.py            # all checks
+    python benchmarks/validate_tpu.py --only paged,swa
+
+Prints one PASS/FAIL line per check and exits non-zero on any failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _ok(name, fn):
+    try:
+        fn()
+        print(f"PASS {name}", flush=True)
+        return True
+    except Exception as e:  # noqa: BLE001 — report-and-continue harness
+        print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
+        traceback.print_exc(limit=3)
+        return False
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", default="",
+                    help="comma list: paged,swa,rope,decode,write,engine")
+    args = ap.parse_args(argv)
+    want = set(filter(None, args.only.split(","))) or {
+        "paged", "swa", "rope", "decode", "write", "engine"}
+
+    import jax
+    import jax.numpy as jnp
+
+    from llm_inference_engine_tpu.ops import paged_kv as PK
+    from llm_inference_engine_tpu.ops.attention import (
+        attention, attention_xla)
+    from llm_inference_engine_tpu.ops.kv_cache import (
+        new_kv_cache, update_cache_at_layer)
+    from llm_inference_engine_tpu.ops.rope import apply_rope, apply_rope_xla
+    from llm_inference_engine_tpu.config import RopeScaling
+
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    results = []
+
+    # production-like shapes: K=8 kv heads, D=128, GQA group 4
+    L, B, S, K, D, H = 2, 4, 512, 8, 128, 32
+    PAGE = 128
+
+    def rand(*shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+
+    if "write" in want:
+        def check_slot_write():
+            cache = new_kv_cache(L, B, K, S, D, dtype=jnp.bfloat16)
+            nk, nv = rand(B, 1, K, D), rand(B, 1, K, D)
+            starts = jnp.asarray([0, 5, 100, 17], jnp.int32)
+            c2 = update_cache_at_layer(cache, jnp.int32(1), nk, nv, starts,
+                                       kernels="pallas")
+            got = np.asarray(c2.k[1])
+            for b, s0 in enumerate([0, 5, 100, 17]):
+                np.testing.assert_allclose(
+                    got[b, s0], np.asarray(nk)[b, 0], rtol=0, atol=0)
+        results.append(_ok("slot-cache aliased DMA write", check_slot_write))
+
+    if "paged" in want:
+        def paged_fixture():
+            maxp = S // PAGE
+            cache = PK.new_paged_kv_cache(L, B, K, 1 + B * maxp, PAGE, D,
+                                          maxp, dtype=jnp.bfloat16)
+            table = rng.permutation(np.arange(1, 1 + B * maxp)).reshape(
+                B, maxp).astype(np.int32)
+            import dataclasses
+            return dataclasses.replace(
+                cache, block_table=jnp.asarray(table)), table, maxp
+
+        def check_paged_write():
+            cache, table, maxp = paged_fixture()
+            # chunk write (page-aligned) + decode write (odd offset)
+            nk = rand(B, PAGE, K, D)
+            nv = rand(B, PAGE, K, D)
+            starts = jnp.zeros((B,), jnp.int32)
+            cache = PK.paged_update_at_layer(
+                cache, jnp.int32(0), nk, nv, starts,
+                jnp.full((B,), PAGE, jnp.int32), kernels="pallas")
+            tk, tv = rand(B, 1, K, D), rand(B, 1, K, D)
+            st = jnp.asarray([PAGE + 3, 7, PAGE - 1, 1], jnp.int32)
+            cache = PK.paged_update_at_layer(
+                cache, jnp.int32(0), tk, tv, st,
+                jnp.ones((B,), jnp.int32), kernels="pallas")
+            kd, _ = PK.gather_layer_pages(cache, jnp.int32(0))
+            got = np.asarray(kd)
+            np.testing.assert_array_equal(got[:, :PAGE][:, 3],
+                                          np.asarray(nk)[:, 3])
+            for b, s0 in enumerate([PAGE + 3, 7, PAGE - 1, 1]):
+                np.testing.assert_array_equal(got[b, s0],
+                                              np.asarray(tk)[b, 0])
+        results.append(_ok("paged write kernel (chunk + token DMA)",
+                           check_paged_write))
+
+        def check_paged_attention():
+            cache, table, maxp = paged_fixture()
+            # fill pool coherently with a dense reference
+            dense_k = rng.standard_normal((L, B, S, K, D)).astype(np.float32)
+            dense_v = rng.standard_normal((L, B, S, K, D)).astype(np.float32)
+            kpool = np.zeros(cache.k.shape, np.float32)
+            vpool = np.zeros(cache.v.shape, np.float32)
+            for b in range(B):
+                for j in range(maxp):
+                    kpool[:, table[b, j]] = dense_k[:, b,
+                                                    j * PAGE:(j + 1) * PAGE]
+                    vpool[:, table[b, j]] = dense_v[:, b,
+                                                    j * PAGE:(j + 1) * PAGE]
+            import dataclasses
+            cache = dataclasses.replace(
+                cache, k=jnp.asarray(kpool, jnp.bfloat16),
+                v=jnp.asarray(vpool, jnp.bfloat16))
+            lengths = np.array([500, 512, 130, 1], np.int32)
+            kv_len = jnp.asarray(lengths)
+
+            # decode (Sq=1, MXU path)
+            q = rand(B, 1, H, D)
+            got = attention(q, cache.k, cache.v, kv_len - 1, kv_len,
+                            kernels="pallas", block_kv=PAGE,
+                            layer=jnp.int32(1), table=cache.block_table)
+            want_ = attention_xla(
+                q, jnp.asarray(dense_k[1], jnp.bfloat16),
+                jnp.asarray(dense_v[1], jnp.bfloat16), kv_len - 1, kv_len)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(want_, np.float32),
+                rtol=5e-2, atol=5e-2)
+
+            # prefill (flash path)
+            Sq = 64
+            q2 = rand(B, Sq, H, D)
+            qs = jnp.maximum(kv_len - Sq, 0)
+            got2 = attention(q2, cache.k, cache.v, qs, kv_len,
+                             kernels="pallas", block_q=128, block_kv=PAGE,
+                             layer=jnp.int32(0), table=cache.block_table)
+            want2 = attention_xla(
+                q2, jnp.asarray(dense_k[0], jnp.bfloat16),
+                jnp.asarray(dense_v[0], jnp.bfloat16), qs, kv_len)
+            np.testing.assert_allclose(
+                np.asarray(got2, np.float32), np.asarray(want2, np.float32),
+                rtol=5e-2, atol=5e-2)
+        results.append(_ok("paged attention (MXU decode + flash prefill)",
+                           check_paged_attention))
+
+    if "swa" in want:
+        def check_swa():
+            W = 96
+            cache_k = rand(B, S, K, D)
+            cache_v = rand(B, S, K, D)
+            lengths = np.array([400, 512, 90, 2], np.int32)
+            kv_len = jnp.asarray(lengths)
+            q = rand(B, 1, H, D)
+            got = attention(q, cache_k, cache_v, kv_len - 1, kv_len,
+                            kernels="pallas", block_kv=128, window=W)
+            want_ = attention_xla(q, cache_k, cache_v, kv_len - 1, kv_len,
+                                  window=W)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(want_, np.float32),
+                rtol=5e-2, atol=5e-2)
+            # prefill with window
+            Sq = 32
+            q2 = rand(B, Sq, H, D)
+            qs = jnp.maximum(kv_len - Sq, 0)
+            got2 = attention(q2, cache_k, cache_v, qs, kv_len,
+                             kernels="pallas", block_q=128, block_kv=128,
+                             window=W)
+            want2 = attention_xla(q2, cache_k, cache_v, qs, kv_len, window=W)
+            np.testing.assert_allclose(
+                np.asarray(got2, np.float32), np.asarray(want2, np.float32),
+                rtol=5e-2, atol=5e-2)
+        results.append(_ok("sliding-window attention (decode + prefill)",
+                           check_swa))
+
+    if "rope" in want:
+        def check_rope():
+            rs = RopeScaling(factor=8.0, low_freq_factor=1.0,
+                             high_freq_factor=4.0,
+                             original_max_position_embeddings=8192)
+            x = jnp.asarray(rng.standard_normal((2, 16, H, D)), jnp.float32)
+            pos = jnp.asarray(rng.integers(0, 30000, size=(2, 16)), jnp.int32)
+            a = apply_rope(x, pos, theta=500000.0, scaling=rs,
+                           kernels="pallas")
+            b = apply_rope_xla(x, pos, theta=500000.0, scaling=rs)
+            # the kernel derives inv_freq via exp/log (float iota is not
+            # lowerable); at positions ~30k the ulp difference in
+            # inv_freq scales into the angle — tolerance reflects that
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-2, atol=1e-2)
+        results.append(_ok("llama3 rope scaling in-kernel", check_rope))
+
+    if "engine" in want:
+        def check_engine_paged_parity():
+            from llm_inference_engine_tpu.config import (
+                EngineConfig, SamplingParams, get_config)
+            from llm_inference_engine_tpu.models.weights import (
+                init_dummy_params)
+            from llm_inference_engine_tpu.runtime.engine import (
+                InferenceEngine)
+            cfg = get_config("debug").replace(
+                dtype_name="bfloat16", num_layers=2, hidden_size=1024,
+                num_heads=8, num_kv_heads=8, head_dim=128,
+                intermediate_size=2048)
+            sp = SamplingParams(greedy=True, max_new_tokens=8)
+            outs = {}
+            for layout in ("slot", "paged"):
+                eng = InferenceEngine(
+                    cfg, EngineConfig(max_batch_size=2, max_seq_len=512,
+                                      max_prefill_len=128,
+                                      kv_layout=layout, page_size=128),
+                    init_dummy_params(cfg, seed=0))
+                r = eng.generate([list(range(1, 150)), [5, 6, 7]], sp,
+                                 eos_token_id=None)
+                outs[layout] = r.token_ids
+            assert outs["paged"] == outs["slot"], (
+                f"paged {outs['paged']} != slot {outs['slot']}")
+        results.append(_ok("engine paged==slot greedy parity (compiled)",
+                           check_engine_paged_parity))
+
+    n_fail = results.count(False)
+    print(f"{len(results) - n_fail}/{len(results)} checks passed", flush=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
