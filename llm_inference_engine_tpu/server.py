@@ -56,12 +56,18 @@ class LLMServer:
     iterate ``stream_events``; everything engine-side happens on the one
     engine thread."""
 
-    def __init__(self, scheduler, tokenizer, template, model_name: str):
+    def __init__(self, scheduler, tokenizer, template, model_name: str,
+                 max_queue: int = 0):
         self.scheduler = scheduler
         self.tokenizer = tokenizer
         self.template = template
         self.model_name = model_name
+        self.max_queue = max_queue or (
+            4 * scheduler.engine.engine_config.max_batch_size)
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self._submit_q: "queue.Queue[_Pending]" = queue.Queue()
+        self._cancel_q: "queue.Queue[_Pending]" = queue.Queue()
         self._ids = itertools.count()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._engine_loop,
@@ -101,6 +107,14 @@ class LLMServer:
                     ev.put(("done", p.request))
                 else:
                     p.request._server_events = ev
+            while True:                     # handler-initiated cancels
+                try:
+                    p = self._cancel_q.get_nowait()
+                except queue.Empty:
+                    break
+                moved = True
+                if p.request is not None and sched.cancel(p.request):
+                    p.events.put(("done", p.request))
             if sched.has_work:
                 done = sched.step()
                 for r in done:
@@ -114,6 +128,11 @@ class LLMServer:
     # -- handler-side API ----------------------------------------------------
 
     def enqueue(self, prompt_ids, sampling: SamplingParams) -> _Pending:
+        with self._inflight_lock:
+            if self._inflight >= self.max_queue:
+                raise OverflowError(
+                    f"server at capacity ({self.max_queue} in flight)")
+            self._inflight += 1
         if self._template_stops:
             sampling = dataclasses.replace(
                 sampling, stop_token_ids=tuple(
@@ -123,14 +142,24 @@ class LLMServer:
         self._submit_q.put(p)
         return p
 
+    def request_cancel(self, p: _Pending) -> None:
+        """Thread-safe cancel (e.g. a stop string matched): routed through
+        the engine thread, which owns the scheduler."""
+        self._cancel_q.put(p)
+
     def stream_events(self, p: _Pending, timeout: float = 600.0):
         """Yield ('token', id) then one final ('done', request)."""
         deadline = time.monotonic() + timeout
-        while True:
-            ev = p.events.get(timeout=max(0.0, deadline - time.monotonic()))
-            yield ev
-            if ev[0] == "done":
-                return
+        try:
+            while True:
+                ev = p.events.get(
+                    timeout=max(0.0, deadline - time.monotonic()))
+                yield ev
+                if ev[0] == "done":
+                    return
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
 
     # -- request plumbing ------------------------------------------------------
 
@@ -173,6 +202,24 @@ def _finish_reason(req) -> str:
     return {"eos": "stop", "length": "length", "capacity": "length",
             "cancelled": "cancelled", "rejected": "length"}.get(
         req.finish_reason, req.finish_reason or "stop")
+
+
+def _parse_stops(body: dict) -> list:
+    stops = body.get("stop") or []
+    if isinstance(stops, str):
+        stops = [stops]
+    return [s for s in stops if s]
+
+
+def _find_stop(text: str, stops: list) -> int | None:
+    """Index of the earliest stop-string match in ``text`` (None if no
+    match)."""
+    best = None
+    for s in stops:
+        i = text.find(s)
+        if i >= 0 and (best is None or i < best):
+            best = i
+    return best
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -219,47 +266,66 @@ class _Handler(BaseHTTPRequestHandler):
             body = self._read_body()
             prompt_ids = self.llm.encode_prompt(body)
             sampling = self.llm.sampling_from(body)
+            stops = _parse_stops(body)
         except Exception as e:  # noqa: BLE001 — client error surface
             self._json(400, {"error": {"message": str(e)}})
             return
 
-        pending = self.llm.enqueue(prompt_ids, sampling)
+        try:
+            pending = self.llm.enqueue(prompt_ids, sampling)
+        except OverflowError as e:          # backpressure
+            self._json(429, {"error": {"message": str(e),
+                                       "type": "overloaded"}})
+            return
         rid = f"cmpl-{next(self.llm._ids)}"
         created = int(time.time())
 
         if body.get("stream"):
-            self._stream_response(pending, prompt_ids, rid, created, chat)
+            self._stream_response(pending, prompt_ids, rid, created, chat,
+                                  stops)
         else:
-            self._full_response(pending, prompt_ids, rid, created, chat)
+            self._full_response(pending, prompt_ids, rid, created, chat,
+                                stops)
 
     # -- response shapes ------------------------------------------------------
 
-    def _full_response(self, pending, prompt_ids, rid, created, chat):
+    def _full_response(self, pending, prompt_ids, rid, created, chat,
+                       stops):
+        # decode incrementally with prompt context (identical text to
+        # streaming mode); stop strings cancel generation early and trim
         req = None
+        text = ""
+        seen = list(prompt_ids)
+        finish = None
         for kind, val in self.llm.stream_events(pending):
             if kind == "done":
                 req = val
-        # assemble with prompt context (identical text to streaming mode —
-        # tokenizers attach whitespace to token boundaries)
-        text = ""
-        seen = list(prompt_ids)
-        for tok in req.output_ids:
-            text += self.llm.decode_delta(seen, tok)
-            seen.append(tok)
+                continue
+            if finish is not None:      # already stopped; drain the tail
+                continue
+            text += self.llm.decode_delta(seen, val)
+            seen.append(val)
+            if stops:
+                cut = _find_stop(text, stops)
+                if cut is not None:
+                    text = text[:cut]
+                    finish = "stop"
+                    self.llm.request_cancel(pending)
+        finish = finish or _finish_reason(req)
         message = ({"message": {"role": "assistant", "content": text}}
                    if chat else {"text": text})
         self._json(200, {
             "id": rid, "created": created,
             "object": "chat.completion" if chat else "text_completion",
             "model": self.llm.model_name,
-            "choices": [{**message, "index": 0,
-                         "finish_reason": _finish_reason(req)}],
+            "choices": [{**message, "index": 0, "finish_reason": finish}],
             "usage": {
                 "prompt_tokens": len(prompt_ids),
                 "completion_tokens": len(req.output_ids),
                 "total_tokens": len(prompt_ids) + len(req.output_ids)}})
 
-    def _stream_response(self, pending, prompt_ids, rid, created, chat):
+    def _stream_response(self, pending, prompt_ids, rid, created, chat,
+                         stops=()):
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")
@@ -279,19 +345,44 @@ class _Handler(BaseHTTPRequestHandler):
                    "model": self.llm.model_name,
                    "choices": [{"index": 0, "delta": {"role": "assistant"},
                                 "finish_reason": None}]})
+
+        def emit(delta):
+            if not delta:
+                return
+            piece = ({"delta": {"content": delta}} if chat
+                     else {"text": delta})
+            chunk({"id": rid, "object": obj, "created": created,
+                   "model": self.llm.model_name,
+                   "choices": [{**piece, "index": 0,
+                                "finish_reason": None}]})
+
+        # hold back enough text that a stop string arriving across token
+        # boundaries is never partially emitted
+        hold = max((len(s) for s in stops), default=1) - 1 if stops else 0
+        acc = ""
         finish = "stop"
+        stopped = False
         for kind, val in self.llm.stream_events(pending):
             if kind == "token":
-                delta = self.llm.decode_delta(seen, val)
+                if stopped:
+                    continue            # drain until the cancel lands
+                acc += self.llm.decode_delta(seen, val)
                 seen.append(val)
-                piece = ({"delta": {"content": delta}} if chat
-                         else {"text": delta})
-                chunk({"id": rid, "object": obj, "created": created,
-                       "model": self.llm.model_name,
-                       "choices": [{**piece, "index": 0,
-                                    "finish_reason": None}]})
+                if stops:
+                    cut = _find_stop(acc, stops)
+                    if cut is not None:
+                        emit(acc[:cut])
+                        acc = ""
+                        stopped = True
+                        self.llm.request_cancel(pending)
+                        continue
+                if len(acc) > hold:
+                    emit(acc[:len(acc) - hold])
+                    acc = acc[len(acc) - hold:]
             else:
-                finish = _finish_reason(val)
+                if not stopped:
+                    emit(acc)
+                    finish = _finish_reason(val)
         chunk({"id": rid, "object": obj, "created": created,
                "model": self.llm.model_name,
                "choices": [{"index": 0,
@@ -305,9 +396,11 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(scheduler, tokenizer, template, model_name: str,
-                host: str = "127.0.0.1", port: int = 8000):
+                host: str = "127.0.0.1", port: int = 8000,
+                max_queue: int = 0):
     """Build (ThreadingHTTPServer, LLMServer); caller starts both."""
-    llm = LLMServer(scheduler, tokenizer, template, model_name)
+    llm = LLMServer(scheduler, tokenizer, template, model_name,
+                    max_queue=max_queue)
     handler = type("BoundHandler", (_Handler,), {"llm": llm})
     httpd = ThreadingHTTPServer((host, port), handler)
     return httpd, llm

@@ -9,6 +9,7 @@ through the shared continuous-batching scheduler.
 
 import http.client
 import json
+import time
 import threading
 
 import pytest
@@ -147,3 +148,73 @@ def test_bad_request(server):
         "messages": [{"role": "alien", "content": "x"}]})
     assert status == 400
     assert "error" in _get_json(resp)
+
+
+def test_stop_strings_trim_and_cancel(server):
+    """OpenAI `stop` strings: generation is cut at the match (non-stream
+    and stream agree) and the request is cancelled server-side."""
+    base = _completion(server, max_tokens=6)
+    full = base["choices"][0]["text"]
+    words = full.split()
+    stop_word = words[2]                      # cut at the 3rd token's text
+    out = _completion(server, max_tokens=6, stop=[" " + stop_word + " "])
+    got = out["choices"][0]["text"]
+    assert got == full[:full.index(" " + stop_word + " ")]
+    assert out["choices"][0]["finish_reason"] == "stop"
+
+    status, resp = _post(server, "/v1/completions",
+                         {"prompt": "5 9 2", "max_tokens": 6,
+                          "temperature": 0.0, "stream": True,
+                          "stop": " " + stop_word + " "})
+    assert status == 200
+    body = resp.read().decode()
+    texts = [json.loads(line[len("data: "):])
+             for line in body.split("\n\n")
+             if line.startswith("data: ") and not line.endswith("[DONE]")]
+    stream_text = "".join(t["choices"][0].get("text", "") for t in texts)
+    assert stream_text == got
+
+
+def test_backpressure_429():
+    """A max_queue=1 server rejects the second concurrent request with
+    429 while the first is still streaming."""
+    from llm_inference_engine_tpu.cli import _IdTokenizer
+    from llm_inference_engine_tpu.config import EngineConfig
+    from llm_inference_engine_tpu.models.weights import init_dummy_params
+    from llm_inference_engine_tpu.runtime.engine import InferenceEngine
+    from llm_inference_engine_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler)
+    from llm_inference_engine_tpu.runtime.chat_template import (
+        get_chat_template)
+    from llm_inference_engine_tpu.server import make_server
+
+    eng = InferenceEngine(
+        CFG, EngineConfig(max_batch_size=1, max_seq_len=64, kernels="xla"),
+        init_dummy_params(CFG, seed=0))
+    sched = ContinuousBatchingScheduler(eng, eos_token_id=None)
+    httpd, llm = make_server(sched, _IdTokenizer(CFG.vocab_size),
+                             get_chat_template("plain"), "debug",
+                             host="127.0.0.1", port=0, max_queue=1)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    llm.start()
+    try:
+        addr = httpd.server_address
+        codes = [None, None]
+
+        def go(i, n):
+            status, resp = _post(addr, "/v1/completions",
+                                 {"prompt": "5 9", "max_tokens": n,
+                                  "temperature": 0.0})
+            resp.read()
+            codes[i] = status
+
+        t1 = threading.Thread(target=go, args=(0, 30))
+        t1.start()
+        time.sleep(0.2)                      # first request is in flight
+        go(1, 2)
+        t1.join(timeout=300)
+        assert codes[0] == 200 and codes[1] == 429
+    finally:
+        httpd.shutdown()
+        llm.shutdown()
