@@ -869,6 +869,10 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
         return jnp.minimum(j, last)
 
     if paged:
+        if quant:
+            raise NotImplementedError(
+                "paged cache + separate k/v scale planes: quantized paged "
+                "pools use embedded scales (embedded_kv=True)")
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
         prefetch.append(table.astype(jnp.int32))
         np_ = 4
@@ -877,6 +881,7 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
             jj = clamp_j(j, kl, b)
             return (ly[0], tb[b, (jj * bk) // page], jj % ppb, 0, 0)
         kv_blk = (1, 1, bk, Kst, D)
+        sc_blk = sc_ix = None
     elif layered:
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
         np_ = 3

@@ -313,6 +313,23 @@ class InferenceEngine:
             self.cache = dataclasses.replace(
                 self.cache, block_table=jnp.asarray(self._table_host))
 
+    def seed_counts(self, slot: int, ctx_tokens=None, gen_tokens=None):
+        """Overwrite one slot's penalty-count rows from explicit token
+        lists — bookkeeping for tokens that enter the context WITHOUT
+        flowing through prefill/decode counting (a restored prefix
+        snapshot's tokens; a preempted request's generated-so-far tokens
+        on re-admission)."""
+        V = self._counts_ctx.shape[1]
+
+        def hist(tokens):
+            h = np.bincount(np.asarray(tokens, np.int64), minlength=V)[:V]
+            return jnp.asarray(h, jnp.int32)
+
+        if ctx_tokens is not None:
+            self._counts_ctx = self._counts_ctx.at[slot].set(hist(ctx_tokens))
+        if gen_tokens is not None:
+            self._counts_gen = self._counts_gen.at[slot].set(hist(gen_tokens))
+
     def reset(self, slots: Optional[Sequence[int]] = None):
         """Clear history (all slots, or specific ones)."""
         if slots is None:
@@ -488,12 +505,12 @@ class InferenceEngine:
         self._key, sub = jax.random.split(self._key)
         active_host = np.asarray(active).astype(np.int32)
         active = jnp.asarray(active)
+        if self.paged or kv_hi is None:     # ONE host sync for both uses
+            lengths_host = np.asarray(jax.device_get(self.cache.lengths))
         if self.paged:
-            self.ensure_capacity(
-                np.asarray(jax.device_get(self.cache.lengths)) + active_host)
+            self.ensure_capacity(lengths_host + active_host)
         if kv_hi is None:
-            kv_hi = self._kv_watermark(
-                np.asarray(jax.device_get(self.cache.lengths)), 1)
+            kv_hi = self._kv_watermark(lengths_host, 1)
         nxt, self.cache, self._counts_ctx, self._counts_gen = \
             self._decode_fn(
                 self.params, self.cache, self._counts_ctx, self._counts_gen,

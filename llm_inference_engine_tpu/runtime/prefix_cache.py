@@ -86,6 +86,10 @@ def snapshot_prefix(cache, slot: int, length: int) -> PrefixEntry:
     form. The pad rows up to RESTORE_BUCKET carry whatever the cache held
     (they restore beyond the entry's valid length and are never attended,
     exactly like a slot's own unwritten tail)."""
+    if hasattr(cache, "block_table"):
+        raise NotImplementedError(
+            "prefix caching requires the slot KV layout (kv_layout='slot'):"
+            " a page pool has no contiguous per-slot rows to snapshot")
     tpad = min(round_up(max(length, 1), RESTORE_BUCKET), cache.max_seq_len)
     k = cache.k[:, slot, :tpad]
     v = cache.v[:, slot, :tpad]

@@ -103,7 +103,15 @@ class ContinuousBatchingScheduler:
         req = Request(id=next(self._ids), prompt_ids=list(prompt_ids),
                       sampling=sampling, stream_callback=stream_callback,
                       submit_time=time.monotonic())
-        if len(req.prompt_ids) >= self.max_seq:
+        too_long = len(req.prompt_ids) >= self.max_seq
+        if not too_long and getattr(self.engine, "paged", False):
+            # a prompt whose pages can NEVER fit the pool would otherwise
+            # sit at the head of the queue forever (admission gate) and
+            # head-of-line block everything behind it
+            total = self.engine._allocator.num_pages - 1
+            too_long = self.engine.pages_needed(
+                len(req.prompt_ids) + 1) > total
+        if too_long:
             req.finished = True
             req.finish_reason = "rejected"
             req.finish_time = req.submit_time
@@ -162,6 +170,13 @@ class ContinuousBatchingScheduler:
                 head = self.waiting[0]
                 need = self.engine.pages_needed(
                     len(self._full_context(head)) + 1)
+                if need > self.engine._allocator.num_pages - 1:
+                    # grown past what the pool can EVER hold (preempted
+                    # request with a long partial output): finish it
+                    # rather than head-of-line block the queue forever
+                    self.waiting.popleft()
+                    self._finish(head, "capacity")
+                    continue
                 if need > budget:
                     break
                 budget -= need
@@ -185,6 +200,9 @@ class ContinuousBatchingScheduler:
         prompt) so later submissions starting with it skip its prefill.
         Creates the PrefixStore on first use; needs one currently-free
         slot as scratch."""
+        if getattr(self.engine, "paged", False):
+            raise NotImplementedError(
+                "prefix caching requires kv_layout='slot'")
         if self.prefix_store is None:
             from llm_inference_engine_tpu.runtime.prefix_cache import PrefixStore
             self.prefix_store = PrefixStore(self.engine)
@@ -286,6 +304,12 @@ class ContinuousBatchingScheduler:
             r.prefill_pos = 0
         if admitted:
             self.engine.reset([r.slot for r in admitted])
+            for r in admitted:
+                if r.output_ids:
+                    # preempted request re-admitted: its generated-so-far
+                    # tokens re-prefill as context; restore their GENERATED
+                    # counts so presence/frequency penalties stay exact
+                    self.engine.seed_counts(r.slot, gen_tokens=r.output_ids)
             if (self.prefix_store is not None
                     and not getattr(self.engine, "paged", False)):
                 # shared-prefix reuse: restore the snapshot's KV rows into
@@ -297,6 +321,10 @@ class ContinuousBatchingScheduler:
                         r.prefill_pos = self.prefix_store.restore(r.slot,
                                                                   entry)
                         r.reused_prefix_len = entry.length
+                        # the skipped prefix tokens still count as context
+                        # for the repetition penalty
+                        self.engine.seed_counts(r.slot,
+                                                ctx_tokens=entry.tokens)
         done += [r for r in admitted if r.finished]
 
         self._fit_or_preempt()

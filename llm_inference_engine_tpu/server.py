@@ -197,6 +197,16 @@ class LLMServer:
         except Exception:
             return ""
 
+    def prompt_limit(self) -> int:
+        """Largest admissible prompt: the scheduler rejects anything at or
+        past max_seq_len (and, paged, past the whole pool)."""
+        eng = self.scheduler.engine
+        limit = eng.engine_config.max_seq_len - 1
+        if getattr(eng, "paged", False):
+            page = eng.engine_config.page_size
+            limit = min(limit, (eng._allocator.num_pages - 1) * page - 1)
+        return limit
+
 
 def _finish_reason(req) -> str:
     return {"eos": "stop", "length": "length", "capacity": "length",
@@ -269,6 +279,15 @@ class _Handler(BaseHTTPRequestHandler):
             stops = _parse_stops(body)
         except Exception as e:  # noqa: BLE001 — client error surface
             self._json(400, {"error": {"message": str(e)}})
+            return
+        limit = self.llm.prompt_limit()
+        if len(prompt_ids) > limit:
+            # OpenAI-style context-length error instead of a 200 with
+            # empty text (scheduler.submit would mark it 'rejected')
+            self._json(400, {"error": {
+                "message": (f"prompt of {len(prompt_ids)} tokens exceeds "
+                            f"the context limit of {limit}"),
+                "type": "context_length_exceeded"}})
             return
 
         try:
@@ -362,37 +381,47 @@ class _Handler(BaseHTTPRequestHandler):
         acc = ""
         finish = "stop"
         stopped = False
-        for kind, val in self.llm.stream_events(pending):
-            if kind == "token":
-                if stopped:
-                    continue            # drain until the cancel lands
-                acc += self.llm.decode_delta(seen, val)
-                seen.append(val)
-                if stops:
-                    cut = _find_stop(acc, stops)
-                    if cut is not None:
-                        emit(acc[:cut])
-                        acc = ""
-                        stopped = True
-                        self.llm.request_cancel(pending)
-                        continue
-                if len(acc) > hold:
-                    emit(acc[:len(acc) - hold])
-                    acc = acc[len(acc) - hold:]
-            else:
-                if not stopped:
-                    emit(acc)
-                    finish = _finish_reason(val)
-        chunk({"id": rid, "object": obj, "created": created,
-               "model": self.llm.model_name,
-               "choices": [{"index": 0,
-                            **({"delta": {}} if chat else {"text": ""}),
-                            "finish_reason": finish}]})
-        tail = b"data: [DONE]\n\n"
-        self.wfile.write(hex(len(tail))[2:].encode() + b"\r\n" + tail
-                         + b"\r\n")
-        self.wfile.write(b"0\r\n\r\n")
-        self.wfile.flush()
+        events = self.llm.stream_events(pending)
+        try:
+            for kind, val in events:
+                if kind == "token":
+                    if stopped:
+                        continue        # drain until the cancel lands
+                    acc += self.llm.decode_delta(seen, val)
+                    seen.append(val)
+                    if stops:
+                        cut = _find_stop(acc, stops)
+                        if cut is not None:
+                            emit(acc[:cut])
+                            acc = ""
+                            stopped = True
+                            self.llm.request_cancel(pending)
+                            continue
+                    if len(acc) > hold:
+                        emit(acc[:len(acc) - hold])
+                        acc = acc[len(acc) - hold:]
+                else:
+                    if not stopped:
+                        emit(acc)
+                        finish = _finish_reason(val)
+            chunk({"id": rid, "object": obj, "created": created,
+                   "model": self.llm.model_name,
+                   "choices": [{"index": 0,
+                                **({"delta": {}} if chat else {"text": ""}),
+                                "finish_reason": finish}]})
+            tail = b"data: [DONE]\n\n"
+            self.wfile.write(hex(len(tail))[2:].encode() + b"\r\n" + tail
+                             + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError,
+                ConnectionAbortedError):
+            # client went away mid-stream: stop generating for a dead
+            # socket (frees the batch slot / pool pages), then drain the
+            # SAME event generator until the cancel's 'done' lands
+            self.llm.request_cancel(pending)
+            for _ in events:
+                pass
 
 
 def make_server(scheduler, tokenizer, template, model_name: str,

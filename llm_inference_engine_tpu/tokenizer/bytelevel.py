@@ -102,13 +102,18 @@ class ByteLevelBPETokenizer:
             self._added_split = None
         self._b2u = _bytes_to_unicode()
         self._u2b = _unicode_to_bytes()
+        # per-instance merge cache (an lru_cache on the METHOD would key
+        # the process-global cache on self and pin every instance forever)
+        self._bpe_cache: dict[str, tuple[int, ...]] = {}
 
     # ------------------------------------------------------------------
 
-    @functools.lru_cache(maxsize=65536)
     def _bpe(self, token: str) -> tuple[int, ...]:
         """Greedy rank-ordered merges over one pre-token (already in
         byte-unicode alphabet)."""
+        cached = self._bpe_cache.get(token)
+        if cached is not None:
+            return cached
         parts = list(token)
         while len(parts) > 1:
             best = None
@@ -132,7 +137,10 @@ class ByteLevelBPETokenizer:
                         out.append(cid)
             else:
                 out.append(tid)
-        return tuple(out)
+        result = tuple(out)
+        if len(self._bpe_cache) < 65536:
+            self._bpe_cache[token] = result
+        return result
 
     def encode(self, text: str, add_bos: bool = False,
                add_eos: bool = False) -> list[int]:

@@ -30,9 +30,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # function-scoped + seeded from the test id (stable crc32, not str
+    # hash — that is salted per process): every test gets the SAME draws
+    # regardless of selection or order (a session-scoped stream made
+    # marginal-tolerance tests flake depending on which tests ran before)
+    import zlib
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 @pytest.fixture(scope="session", autouse=True)

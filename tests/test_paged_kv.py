@@ -377,3 +377,47 @@ def test_paged_router_and_chat_session():
                                                 max_new_tokens=4))
         answers[layout] = (a1, a2)
     assert answers["paged"] == answers["slot"]
+
+
+def test_paged_oversized_prompt_rejected_no_starvation():
+    """A prompt that can never fit the pool is rejected at submit instead
+    of head-of-line blocking the queue forever (review finding)."""
+    from llm_inference_engine_tpu.config import SamplingParams
+    sched = _sched("paged", num_pages=4)          # 3 pages = 48 tokens
+    sp = SamplingParams(greedy=True, max_new_tokens=3)
+    big = sched.submit(list(range(1, 50)), sp)    # 49 tokens -> 4 pages
+    small = sched.submit([1, 2, 3], sp)
+    assert big.finished and big.finish_reason == "rejected"
+    sched.run(max_steps=200)
+    assert small.finished and len(small.output_ids) == 3
+
+
+def test_preemption_preserves_generation_counts():
+    """Recompute preemption must not reset the presence/frequency penalty
+    state: a preempted run equals an unconstrained run with the same
+    penalties (review finding)."""
+    from llm_inference_engine_tpu.config import SamplingParams
+    sp = SamplingParams(greedy=True, max_new_tokens=20,
+                        frequency_penalty=0.7, presence_penalty=0.3,
+                        repetition_penalty=1.2)
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8], [9, 8, 7, 6, 5, 4, 3, 2]]
+    slot = _sched("slot")
+    rs = [slot.submit(p, sp) for p in prompts]
+    slot.run()
+    paged = _sched("paged", num_pages=4)
+    rp = [paged.submit(p, sp) for p in prompts]
+    paged.run(max_steps=500)
+    assert rp[1].preemptions > 0          # the scenario actually preempts
+    assert [r.output_ids for r in rp] == [r.output_ids for r in rs]
+
+
+def test_paged_separate_scale_attention_rejected(rng):
+    from llm_inference_engine_tpu.ops.attention import _attention_pallas
+    cache = _mk_cache(rng)
+    q = jnp.asarray(rng.standard_normal((B, 4, K, D)), jnp.float32)
+    kl = jnp.asarray([8, 8, 8], jnp.int32)
+    sc = jnp.ones((L, cache.num_pages, PAGE, K), jnp.float32)
+    with pytest.raises(NotImplementedError, match="embedded"):
+        _attention_pallas(q, cache.k, cache.v, kl - 4, kl, True, 1.0,
+                          16, PAGE, True, k_scale=sc, v_scale=sc,
+                          layer=jnp.int32(0), table=cache.block_table)

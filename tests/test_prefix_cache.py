@@ -130,3 +130,16 @@ def test_unaligned_prefix_token_parity():
     reused = _run_sched(prompts, sp, prefix=prefix)
     assert reused[0].output_ids == base[0].output_ids
     assert reused[0].reused_prefix_len == 19
+
+
+def test_prefix_reuse_preserves_repetition_penalty():
+    """Restored prefix tokens must still count as context for the
+    repetition penalty: outputs match the no-reuse run exactly
+    (review finding: restore copied KV but not the count planes)."""
+    sp = SamplingParams(greedy=True, max_new_tokens=8,
+                        repetition_penalty=1.5)
+    prompts = [PREFIX + t for t in TAILS[:2]]
+    base = _run_sched(prompts, sp)
+    reused = _run_sched(prompts, sp, prefix=PREFIX)
+    assert all(r.reused_prefix_len == len(PREFIX) for r in reused)
+    assert [r.output_ids for r in reused] == [r.output_ids for r in base]

@@ -218,3 +218,56 @@ def test_backpressure_429():
     finally:
         httpd.shutdown()
         llm.shutdown()
+
+
+def _standalone_server(batch=1, max_queue=0):
+    eng = InferenceEngine(
+        CFG, EngineConfig(max_batch_size=batch, max_seq_len=64,
+                          kernels="xla"),
+        init_dummy_params(CFG, seed=0))
+    sched = ContinuousBatchingScheduler(eng, eos_token_id=None)
+    httpd, llm = make_server(sched, _IdTokenizer(CFG.vocab_size),
+                             get_chat_template("plain"), "debug",
+                             host="127.0.0.1", port=0, max_queue=max_queue)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    llm.start()
+    return httpd, llm, sched
+
+
+def test_context_length_400(server):
+    status, resp = _post(server, "/v1/completions", {
+        "prompt": [7] * 64, "max_tokens": 2})
+    assert status == 400
+    assert _get_json(resp)["error"]["type"] == "context_length_exceeded"
+
+
+def test_client_disconnect_cancels_generation():
+    """Dropping a streaming connection mid-generation cancels the request
+    server-side (review finding: slots/pages were held until
+    max_new_tokens for dead sockets)."""
+    httpd, llm, sched = _standalone_server()
+    try:
+        addr = httpd.server_address
+        conn = http.client.HTTPConnection(*addr, timeout=120)
+        conn.request("POST", "/v1/completions",
+                     json.dumps({"prompt": "5 9", "max_tokens": 50,
+                                 "temperature": 0.0, "stream": True}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        resp.read(200)                  # a few chunks flowed
+        conn.close()                    # client disappears
+        deadline = time.time() + 60
+        req = None
+        while time.time() < deadline:
+            live = [r for r in sched.slots if r is not None]
+            if not live and not sched.waiting:
+                break
+            if live:
+                req = live[0]
+            time.sleep(0.1)
+        assert not sched.has_work, "request still running after disconnect"
+        assert req is not None and req.finish_reason == "cancelled"
+        assert len(req.output_ids) < 50
+    finally:
+        httpd.shutdown()
+        llm.shutdown()
