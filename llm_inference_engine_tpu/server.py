@@ -289,9 +289,15 @@ class _Handler(BaseHTTPRequestHandler):
                             f"the context limit of {limit}"),
                 "type": "context_length_exceeded"}})
             return
+        n = int(body.get("n", 1))
+        if n < 1 or n > 16 or (n > 1 and body.get("stream")):
+            self._json(400, {"error": {"message":
+                             "n must be 1..16 (and 1 when streaming)"}})
+            return
 
         try:
-            pending = self.llm.enqueue(prompt_ids, sampling)
+            pendings = [self.llm.enqueue(prompt_ids, sampling)
+                        for _ in range(n)]
         except OverflowError as e:          # backpressure
             self._json(429, {"error": {"message": str(e),
                                        "type": "overloaded"}})
@@ -300,18 +306,18 @@ class _Handler(BaseHTTPRequestHandler):
         created = int(time.time())
 
         if body.get("stream"):
-            self._stream_response(pending, prompt_ids, rid, created, chat,
-                                  stops)
+            self._stream_response(pendings[0], prompt_ids, rid, created,
+                                  chat, stops)
         else:
-            self._full_response(pending, prompt_ids, rid, created, chat,
+            self._full_response(pendings, prompt_ids, rid, created, chat,
                                 stops)
 
     # -- response shapes ------------------------------------------------------
 
-    def _full_response(self, pending, prompt_ids, rid, created, chat,
-                       stops):
-        # decode incrementally with prompt context (identical text to
-        # streaming mode); stop strings cancel generation early and trim
+    def _collect_one(self, pending, prompt_ids, stops):
+        """Drain one request: (text, finish_reason, completion_tokens) —
+        decoded incrementally with prompt context (identical text to
+        streaming mode); stop strings cancel generation early and trim."""
         req = None
         text = ""
         seen = list(prompt_ids)
@@ -330,18 +336,30 @@ class _Handler(BaseHTTPRequestHandler):
                     text = text[:cut]
                     finish = "stop"
                     self.llm.request_cancel(pending)
-        finish = finish or _finish_reason(req)
-        message = ({"message": {"role": "assistant", "content": text}}
-                   if chat else {"text": text})
+        return text, finish or _finish_reason(req), len(req.output_ids)
+
+    def _full_response(self, pendings, prompt_ids, rid, created, chat,
+                       stops):
+        choices = []
+        completion_tokens = 0
+        for i, pending in enumerate(pendings):   # all run concurrently in
+            # the engine; collection order does not serialize them
+            text, finish, ntok = self._collect_one(pending, prompt_ids,
+                                                   stops)
+            completion_tokens += ntok
+            message = ({"message": {"role": "assistant", "content": text}}
+                       if chat else {"text": text})
+            choices.append({**message, "index": i,
+                            "finish_reason": finish})
         self._json(200, {
             "id": rid, "created": created,
             "object": "chat.completion" if chat else "text_completion",
             "model": self.llm.model_name,
-            "choices": [{**message, "index": 0, "finish_reason": finish}],
+            "choices": choices,
             "usage": {
                 "prompt_tokens": len(prompt_ids),
-                "completion_tokens": len(req.output_ids),
-                "total_tokens": len(prompt_ids) + len(req.output_ids)}})
+                "completion_tokens": completion_tokens,
+                "total_tokens": len(prompt_ids) + completion_tokens}})
 
     def _stream_response(self, pending, prompt_ids, rid, created, chat,
                          stops=()):

@@ -271,3 +271,21 @@ def test_client_disconnect_cancels_generation():
     finally:
         httpd.shutdown()
         llm.shutdown()
+
+
+def test_n_completions(server):
+    """OpenAI `n`: multiple choices per request, multiplexed through the
+    batch; greedy choices are identical, usage sums across choices."""
+    status, resp = _post(server, "/v1/completions", {
+        "prompt": "5 9 2", "max_tokens": 4, "temperature": 0.0, "n": 3})
+    assert status == 200
+    out = _get_json(resp)
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    texts = {c["text"] for c in out["choices"]}
+    assert len(texts) == 1                    # greedy: all identical
+    assert out["usage"]["completion_tokens"] == 12
+
+    status, resp = _post(server, "/v1/completions", {
+        "prompt": "5 9", "max_tokens": 2, "n": 2, "stream": True})
+    assert status == 400                      # n>1 streaming unsupported
+    resp.read()
