@@ -63,6 +63,17 @@ def greedy_sample(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def token_logprobs(logits: jax.Array, ids: jax.Array) -> jax.Array:
+    """log softmax(logits)[ids]: [B, V], [B] -> [B] f32. The model's raw
+    distribution (post-penalty, pre-temperature/filters) — what the
+    OpenAI logprobs field reports."""
+    lf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lf, axis=-1)
+    picked = jnp.take_along_axis(lf, ids[:, None].astype(jnp.int32),
+                                 axis=-1)[:, 0]
+    return picked - lse
+
+
 def sample_top_k(logits: jax.Array, key: jax.Array, *, temperature: float = 1.0,
                  top_k: int = 5, top_p: float = 1.0) -> jax.Array:
     """Sample token ids from softmax(top_k(logits)/T), optionally top-p

@@ -32,7 +32,8 @@ from llm_inference_engine_tpu.config import EngineConfig, ModelConfig, SamplingP
 from llm_inference_engine_tpu.models import llama as llama_model
 from llm_inference_engine_tpu.ops import kv_cache as kvc
 from llm_inference_engine_tpu.ops.sampling import (
-    apply_penalties, greedy_sample, sample_top_k, sample_tokens)
+    apply_penalties, greedy_sample, sample_top_k, sample_tokens,
+    token_logprobs)
 
 __all__ = ["InferenceEngine", "GenerationResult"]
 
@@ -42,6 +43,9 @@ class GenerationResult:
     token_ids: list[list[int]]          # per sequence, generated ids only
     num_prompt_tokens: list[int]
     num_generated: list[int]
+    # per generated token: log P(token) under the model's (penalized)
+    # distribution — aligned with token_ids
+    logprobs: Optional[list[list[float]]] = None
 
 
 def _bucket_len(n: int, floor: int = 16, cap: int | None = None) -> int:
@@ -169,22 +173,24 @@ class InferenceEngine:
                                 kv_len, kv_hi)
             logits, minp = _penalized(logits, counts_ctx, counts_gen, extras)
             nxt = sample_tokens(logits, key, temperature, top_k, top_p, minp)
+            lp = token_logprobs(logits, nxt)
             counts_ctx = _count_tokens(counts_ctx, nxt[:, None],
                                        active[:, None])
             counts_gen = _count_tokens(counts_gen, nxt[:, None],
                                        active[:, None])
-            return nxt, cache, counts_ctx, counts_gen
+            return nxt, lp, cache, counts_ctx, counts_gen
 
         @functools.partial(jax.jit, donate_argnums=(5, 6))
         def _sample(logits, key, temperature, top_k, top_p, counts_ctx,
                     counts_gen, extras, count_mask):
             logits, minp = _penalized(logits, counts_ctx, counts_gen, extras)
             nxt = sample_tokens(logits, key, temperature, top_k, top_p, minp)
+            lp = token_logprobs(logits, nxt)
             counts_ctx = _count_tokens(counts_ctx, nxt[:, None],
                                        count_mask[:, None])
             counts_gen = _count_tokens(counts_gen, nxt[:, None],
                                        count_mask[:, None])
-            return nxt, counts_ctx, counts_gen
+            return nxt, lp, counts_ctx, counts_gen
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnames=("num_steps", "kv_hi"))
@@ -226,11 +232,14 @@ class InferenceEngine:
             out0 = jnp.full((num_steps, B), -1, jnp.int32)
 
             def cond(st):
-                i, cache, cc, cg, toks, key, act, out = st
+                i = st[0]
+                act = st[6]
                 return (i < limit) & act.any()
 
+            lp0 = jnp.zeros((num_steps, B), jnp.float32)
+
             def body(st):
-                i, cache, cc, cg, toks, key, act, out = st
+                i, cache, cc, cg, toks, key, act, out, lps = st
                 act = act & (cache.lengths < max_room)
                 q_start = cache.lengths
                 kv_len = q_start + act.astype(jnp.int32)
@@ -240,17 +249,20 @@ class InferenceEngine:
                 key, sub = jax.random.split(key)
                 nxt = sample_tokens(logits, sub, temp, top_k, top_p, minp)
                 nxt = jnp.where(act, nxt, toks)
+                lp = token_logprobs(logits, nxt)
                 cc = _count_tokens(cc, nxt[:, None], act[:, None])
                 cg = _count_tokens(cg, nxt[:, None], act[:, None])
                 out = out.at[i].set(jnp.where(act, nxt, -1))
+                lps = lps.at[i].set(lp)
                 stopped = (nxt[:, None] == stop_ids[None, :]).any(-1)
-                return (i + 1, cache, cc, cg, nxt, key, act & ~stopped, out)
+                return (i + 1, cache, cc, cg, nxt, key, act & ~stopped, out,
+                        lps)
 
-            _, cache, counts_ctx, counts_gen, _, _, _, out = \
+            _, cache, counts_ctx, counts_gen, _, _, _, out, lps = \
                 jax.lax.while_loop(
                     cond, body, (jnp.int32(0), cache, counts_ctx, counts_gen,
-                                 tokens, key, active0, out0))
-            return out, cache, counts_ctx, counts_gen
+                                 tokens, key, active0, out0, lp0))
+            return out, lps, cache, counts_ctx, counts_gen
 
         self._prefill_fn = _prefill
         self._decode_fn = _decode_step
@@ -471,26 +483,29 @@ class InferenceEngine:
                 tuple(jnp.asarray(e) for e in extras))
 
     def sample(self, logits, temperature, top_k, top_p, extras=None,
-               count_mask=None):
+               count_mask=None, return_logprobs: bool = False):
         """Sample token ids from logits with per-slot params [B].
 
         ``extras``: (min_p, repetition, presence, frequency) per-slot
         arrays (None = neutral). ``count_mask`` [B] bool marks the rows
         whose sampled token enters this slot's penalty counts (rows whose
-        sample is discarded — e.g. mid-prefill chunks — must not count)."""
+        sample is discarded — e.g. mid-prefill chunks — must not count).
+        ``return_logprobs``: also return the sampled tokens' [B] log
+        probabilities under the (penalized) model distribution."""
         self._key, sub = jax.random.split(self._key)
         if extras is None:
             extras = self._neutral_extras()
         if count_mask is None:
             count_mask = np.zeros((logits.shape[0],), bool)
-        nxt, self._counts_ctx, self._counts_gen = self._sample_fn(
+        nxt, lp, self._counts_ctx, self._counts_gen = self._sample_fn(
             logits, sub, jnp.asarray(temperature), jnp.asarray(top_k),
             jnp.asarray(top_p), self._counts_ctx, self._counts_gen,
             tuple(jnp.asarray(e) for e in extras), jnp.asarray(count_mask))
-        return nxt
+        return (nxt, lp) if return_logprobs else nxt
 
     def decode_step(self, tokens, active, sp_or_arrays,
-                    kv_hi: int | None = None):
+                    kv_hi: int | None = None,
+                    return_logprobs: bool = False):
         """One decode step over all slots. tokens/active: [B] device or np.
         ``sp_or_arrays``: a SamplingParams (uniform) or a (temperature,
         top_k, top_p[, extras]) tuple of per-slot [B] arrays. ``kv_hi``:
@@ -511,12 +526,12 @@ class InferenceEngine:
             self.ensure_capacity(lengths_host + active_host)
         if kv_hi is None:
             kv_hi = self._kv_watermark(lengths_host, 1)
-        nxt, self.cache, self._counts_ctx, self._counts_gen = \
+        nxt, lp, self.cache, self._counts_ctx, self._counts_gen = \
             self._decode_fn(
                 self.params, self.cache, self._counts_ctx, self._counts_gen,
                 jnp.asarray(tokens), active, sub, temp, topk, topp, extras,
                 kv_hi=kv_hi)
-        return nxt
+        return (nxt, lp) if return_logprobs else nxt
 
     def decode_rollout(self, tokens, num_steps: int):
         """Greedy decode ``num_steps`` tokens for all slots in ONE device
@@ -553,14 +568,17 @@ class InferenceEngine:
         first_logits = self.prefill(prompts)
         temp, topk, topp, extras = self._sampling_arrays(sampling)
         count_mask = np.arange(B) < nseq
-        tokens = self.sample(first_logits, temp, topk, topp, extras,
-                             count_mask)
+        tokens, first_lp = self.sample(first_logits, temp, topk, topp,
+                                       extras, count_mask,
+                                       return_logprobs=True)
+        first_lp_host = np.asarray(first_lp)
 
         stop_ids = set(sampling.stop_token_ids)
         if eos_token_id is not None:
             stop_ids.add(eos_token_id)
 
         out: list[list[int]] = [[] for _ in range(nseq)]
+        lp_out: list[list[float]] = [[] for _ in range(nseq)]
         done = np.zeros((B,), bool)
         done[nseq:] = True
         active = ~done
@@ -571,6 +589,7 @@ class InferenceEngine:
                 done[i] = True
             else:
                 out[i].append(int(tok_host[i]))
+                lp_out[i].append(float(first_lp_host[i]))
                 if stream_callback:
                     stream_callback(i, int(tok_host[i]))
 
@@ -589,14 +608,15 @@ class InferenceEngine:
             stop_arr = jnp.asarray(sorted(stop_ids) or [-2], jnp.int32)
             temp, topk, topp, extras = self._sampling_arrays(sampling)
             self._key, sub = jax.random.split(self._key)
-            (rolled, self.cache, self._counts_ctx,
+            (rolled, rolled_lp, self.cache, self._counts_ctx,
              self._counts_gen) = self._sampled_rollout_fn(
                 self.params, self.cache, self._counts_ctx, self._counts_gen,
                 jnp.asarray(tokens), sub, temp,
                 topk, topp, extras, jnp.asarray(~done), stop_arr,
                 jnp.int32(steps), num_steps=num_steps, kv_hi=kv_hi)
             host = np.asarray(rolled)
-            for row in host:
+            lp_host = np.asarray(rolled_lp)
+            for row, lp_row in zip(host, lp_host):
                 for i in range(nseq):
                     t = int(row[i])
                     if done[i] or t < 0:
@@ -605,6 +625,7 @@ class InferenceEngine:
                         done[i] = True
                     else:
                         out[i].append(t)
+                        lp_out[i].append(float(lp_row[i]))
         else:
             for _ in range(steps):
                 if done.all():
@@ -615,8 +636,10 @@ class InferenceEngine:
                 active &= room
                 if not active.any():
                     break
-                tokens = self.decode_step(tokens, active, sampling)
+                tokens, step_lp = self.decode_step(tokens, active, sampling,
+                                                   return_logprobs=True)
                 tok_host = np.asarray(tokens)
+                lp_host = np.asarray(step_lp)
                 for i in range(nseq):
                     if done[i] or not active[i]:
                         continue
@@ -625,6 +648,7 @@ class InferenceEngine:
                         done[i] = True
                         continue
                     out[i].append(t)
+                    lp_out[i].append(float(lp_host[i]))
                     if stream_callback:
                         stream_callback(i, t)
 
@@ -649,4 +673,5 @@ class InferenceEngine:
             token_ids=out,
             num_prompt_tokens=[len(p) for p in prompts],
             num_generated=[len(o) for o in out],
+            logprobs=lp_out,
         )

@@ -119,25 +119,30 @@ class MultiHostScheduler(ContinuousBatchingScheduler):
                 count_mask[r.slot] = True
             for r in prefilling:
                 count_mask[r.slot] = r.prefill_pos >= len(r.prompt_ids)
-            nxt = np.asarray(self.engine.sample(
+            nxt, lp = self.engine.sample(
                 logits, self._temp, self._topk, self._topp,
-                extras=self._samp_arrays[3], count_mask=count_mask))
+                extras=self._samp_arrays[3], count_mask=count_mask,
+                return_logprobs=True)
+            nxt, lp = np.asarray(nxt), np.asarray(lp)
             for r in decode_rows:
-                self._accept_token(r, int(nxt[r.slot]))
+                self._accept_token(r, int(nxt[r.slot]), float(lp[r.slot]))
             for r in prefilling:
                 if r.prefill_pos >= len(r.prompt_ids):
                     r.prefill_pos = None
-                    self._accept_token(r, int(nxt[r.slot]))
+                    self._accept_token(r, int(nxt[r.slot]),
+                                       float(lp[r.slot]))
         else:
             active_mask = np.array([r is not None and not r.finished
                                     for r in self.slots], bool)
-            nxt = np.asarray(self.engine.decode_step(
+            nxt, lp = self.engine.decode_step(
                 self._last_token, active_mask, self._samp_arrays,
-                kv_hi=plan.kv_hi))
+                kv_hi=plan.kv_hi, return_logprobs=True)
+            nxt, lp = np.asarray(nxt), np.asarray(lp)
             for slot in np.nonzero(active_mask)[0]:
                 req = self.slots[slot]
                 if req is not None:
-                    self._accept_token(req, int(nxt[slot]))
+                    self._accept_token(req, int(nxt[slot]),
+                                       float(lp[slot]))
 
         done += [r for r in before + admitted
                  if r.finished and r not in done]

@@ -42,6 +42,7 @@ class Request:
     sampling: SamplingParams
     stream_callback: Optional[Callable[[int], None]] = None
     output_ids: list[int] = dataclasses.field(default_factory=list)
+    token_logprobs: list[float] = dataclasses.field(default_factory=list)
     finished: bool = False
     finish_reason: str = ""           # eos | length | capacity | rejected |
                                       # cancelled
@@ -211,13 +212,16 @@ class ContinuousBatchingScheduler:
             raise RuntimeError("no free slot to register a prefix on")
         return self.prefix_store.register(tokens, slot=free[0])
 
-    def _accept_token(self, req: Request, token: int) -> None:
+    def _accept_token(self, req: Request, token: int,
+                      logprob: float | None = None) -> None:
         if req.first_token_time is None:
             req.first_token_time = time.monotonic()
         if token in self._stop_set(req):
             self._finish(req, "eos")
             return
         req.output_ids.append(token)
+        if logprob is not None:
+            req.token_logprobs.append(logprob)
         self._last_token[req.slot] = token
         if req.stream_callback is not None:
             req.stream_callback(token)
@@ -354,26 +358,33 @@ class ContinuousBatchingScheduler:
             for r in prefilling:                  # rows finishing prefill
                 count_mask[r.slot] = (
                     r.prefill_pos >= len(self._full_context(r)))
-            nxt = np.asarray(self.engine.sample(
+            nxt, lp = self.engine.sample(
                 logits, self._temp, self._topk, self._topp,
-                extras=self._samp_arrays[3], count_mask=count_mask))
+                extras=self._samp_arrays[3], count_mask=count_mask,
+                return_logprobs=True)
+            nxt, lp = np.asarray(nxt), np.asarray(lp)
             for r in decode_rows:
-                self._accept_token(r, int(nxt[r.slot]))
+                self._accept_token(r, int(nxt[r.slot]),
+                                   float(lp[r.slot]))
             for r in prefilling:
                 if (r.prefill_pos is not None
                         and r.prefill_pos >= len(self._full_context(r))):
                     r.prefill_pos = None          # context fully consumed:
-                    self._accept_token(r, int(nxt[r.slot]))  # next token
+                    self._accept_token(r, int(nxt[r.slot]),
+                                       float(lp[r.slot]))
         else:
             active_mask = np.array([r is not None and not r.finished
                                     for r in self.slots], bool)
             if active_mask.any():
-                nxt = np.asarray(self.engine.decode_step(
-                    self._last_token, active_mask, self._samp_arrays))
+                nxt, lp = self.engine.decode_step(
+                    self._last_token, active_mask, self._samp_arrays,
+                    return_logprobs=True)
+                nxt, lp = np.asarray(nxt), np.asarray(lp)
                 for slot in np.nonzero(active_mask)[0]:
                     req = self.slots[slot]
                     if req is not None:
-                        self._accept_token(req, int(nxt[slot]))
+                        self._accept_token(req, int(nxt[slot]),
+                                           float(lp[slot]))
 
         done += [r for r in before + admitted
                  if r.finished and r not in done]

@@ -310,16 +310,19 @@ class _Handler(BaseHTTPRequestHandler):
                                   chat, stops)
         else:
             self._full_response(pendings, prompt_ids, rid, created, chat,
-                                stops)
+                                stops,
+                                want_logprobs=bool(body.get("logprobs")))
 
     # -- response shapes ------------------------------------------------------
 
     def _collect_one(self, pending, prompt_ids, stops):
-        """Drain one request: (text, finish_reason, completion_tokens) —
-        decoded incrementally with prompt context (identical text to
-        streaming mode); stop strings cancel generation early and trim."""
+        """Drain one request: (text, finish_reason, completion_tokens,
+        token_texts, token_logprobs) — decoded incrementally with prompt
+        context (identical text to streaming mode); stop strings cancel
+        generation early and trim."""
         req = None
         text = ""
+        pieces: list = []
         seen = list(prompt_ids)
         finish = None
         for kind, val in self.llm.stream_events(pending):
@@ -328,7 +331,9 @@ class _Handler(BaseHTTPRequestHandler):
                 continue
             if finish is not None:      # already stopped; drain the tail
                 continue
-            text += self.llm.decode_delta(seen, val)
+            delta = self.llm.decode_delta(seen, val)
+            text += delta
+            pieces.append(delta)
             seen.append(val)
             if stops:
                 cut = _find_stop(text, stops)
@@ -336,21 +341,31 @@ class _Handler(BaseHTTPRequestHandler):
                     text = text[:cut]
                     finish = "stop"
                     self.llm.request_cancel(pending)
-        return text, finish or _finish_reason(req), len(req.output_ids)
+        lps = list(req.token_logprobs[:len(pieces)])
+        return (text, finish or _finish_reason(req), len(req.output_ids),
+                pieces, lps)
 
     def _full_response(self, pendings, prompt_ids, rid, created, chat,
-                       stops):
+                       stops, want_logprobs=False):
         choices = []
         completion_tokens = 0
         for i, pending in enumerate(pendings):   # all run concurrently in
             # the engine; collection order does not serialize them
-            text, finish, ntok = self._collect_one(pending, prompt_ids,
-                                                   stops)
+            text, finish, ntok, pieces, lps = self._collect_one(
+                pending, prompt_ids, stops)
             completion_tokens += ntok
             message = ({"message": {"role": "assistant", "content": text}}
                        if chat else {"text": text})
-            choices.append({**message, "index": i,
-                            "finish_reason": finish})
+            choice = {**message, "index": i, "finish_reason": finish}
+            if want_logprobs:
+                if chat:
+                    choice["logprobs"] = {"content": [
+                        {"token": t, "logprob": l}
+                        for t, l in zip(pieces, lps)]}
+                else:
+                    choice["logprobs"] = {"tokens": pieces,
+                                          "token_logprobs": lps}
+            choices.append(choice)
         self._json(200, {
             "id": rid, "created": created,
             "object": "chat.completion" if chat else "text_completion",

@@ -130,3 +130,41 @@ def test_engine_counts_and_repetition_penalty():
                       eos_token_id=None)
     out2 = r2.token_ids[0]
     assert len(set(out2) | {5, 7}) == len(out2) + 2
+
+
+def test_token_logprobs_math(rng):
+    from llm_inference_engine_tpu.ops.sampling import token_logprobs
+    logits = jnp.asarray(rng.standard_normal((3, 20)), jnp.float32)
+    ids = jnp.asarray([4, 0, 19], jnp.int32)
+    got = np.asarray(token_logprobs(logits, ids))
+    ref = np.log(jax.nn.softmax(np.asarray(logits), axis=-1))
+    want = ref[np.arange(3), np.asarray(ids)]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_generate_and_scheduler_logprobs_consistent():
+    """Greedy logprobs from generate() and from the continuous-batching
+    scheduler agree for the same prompt (same penalized distribution)."""
+    from llm_inference_engine_tpu.config import EngineConfig, SamplingParams, get_config
+    from llm_inference_engine_tpu.models.weights import init_dummy_params
+    from llm_inference_engine_tpu.runtime.engine import InferenceEngine
+    from llm_inference_engine_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler)
+    cfg = get_config("debug")
+
+    def mk():
+        return InferenceEngine(
+            cfg, EngineConfig(max_batch_size=1, max_seq_len=64,
+                              kernels="xla"),
+            init_dummy_params(cfg, seed=0))
+    sp = SamplingParams(greedy=True, max_new_tokens=5)
+    r = mk().generate([[1, 2, 3]], sp, eos_token_id=None)
+    assert len(r.logprobs[0]) == 5
+    assert all(l <= 0.0 for l in r.logprobs[0])
+
+    sched = ContinuousBatchingScheduler(mk(), eos_token_id=None)
+    q = sched.submit([1, 2, 3], sp)
+    sched.run()
+    assert q.output_ids == r.token_ids[0]
+    np.testing.assert_allclose(q.token_logprobs, r.logprobs[0],
+                               rtol=1e-5, atol=1e-6)

@@ -289,3 +289,20 @@ def test_n_completions(server):
         "prompt": "5 9", "max_tokens": 2, "n": 2, "stream": True})
     assert status == 400                      # n>1 streaming unsupported
     resp.read()
+
+
+def test_logprobs_returned(server):
+    import math
+    out = _completion(server, max_tokens=4, logprobs=1)
+    lp = out["choices"][0]["logprobs"]
+    assert len(lp["tokens"]) == 4 and len(lp["token_logprobs"]) == 4
+    assert all(l <= 0.0 and math.isfinite(l) for l in lp["token_logprobs"])
+    assert "".join(lp["tokens"]) == out["choices"][0]["text"]
+
+    status, resp = _post(server, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "7 11"}],
+        "max_tokens": 3, "temperature": 0.0, "logprobs": True})
+    chat = _get_json(resp)
+    content = chat["choices"][0]["logprobs"]["content"]
+    assert len(content) == 3
+    assert all("token" in c and c["logprob"] <= 0.0 for c in content)
