@@ -1,0 +1,105 @@
+"""Speculative continuous batching (runtime/speculative_scheduler.py).
+
+The lossless property under serving: whatever the draft model proposes,
+the emitted tokens equal the plain greedy continuous-batching scheduler's
+token for token — across multiplexed requests, chunked admissions mixing
+with live decodes, and slot reuse. Pinned with an identical draft (100%
+acceptance) and a disagreeing draft (partial acceptance).
+"""
+
+import numpy as np
+import pytest
+
+from llm_inference_engine_tpu.config import EngineConfig, SamplingParams, get_config
+from llm_inference_engine_tpu.models.weights import init_dummy_params
+from llm_inference_engine_tpu.runtime.engine import InferenceEngine
+from llm_inference_engine_tpu.runtime.scheduler import ContinuousBatchingScheduler
+from llm_inference_engine_tpu.runtime.speculative_scheduler import (
+    SpeculativeScheduler)
+
+CFG = get_config("debug")
+
+
+def _engine(seed=0, batch=2, seq=96, prefill=8):
+    eng = EngineConfig(max_batch_size=batch, max_seq_len=seq, kernels="xla",
+                       max_prefill_len=prefill)
+    return InferenceEngine(CFG, eng, init_dummy_params(CFG, seed=seed))
+
+
+def _run(sched, prompts, sp):
+    reqs = [sched.submit(p, sp) for p in prompts]
+    sched.run(max_steps=2000)
+    return [r.output_ids for r in reqs]
+
+
+PROMPTS = [[1, 2, 3], [9, 8, 7, 6], list(range(3, 25)), [4, 4], [17, 5]]
+
+
+@pytest.mark.parametrize("draft_seed", [0, 1])
+def test_spec_scheduler_matches_plain_greedy(draft_seed):
+    sp = SamplingParams(greedy=True, max_new_tokens=9)
+    want = _run(ContinuousBatchingScheduler(_engine(), eos_token_id=None),
+                PROMPTS, sp)
+    spec = SpeculativeScheduler(_engine(), _engine(seed=draft_seed),
+                                eos_token_id=None, num_draft=3)
+    got = _run(spec, PROMPTS, sp)
+    assert got == want
+    assert spec.num_drafted > 0
+    if draft_seed == 0:
+        assert spec.acceptance_rate == 1.0     # identical draft
+    else:
+        assert spec.acceptance_rate < 1.0      # disagreeing draft
+
+
+def test_spec_scheduler_chunked_admission_mixes_with_rounds():
+    """A long prompt admits chunk-by-chunk while a live request decodes
+    (plain tokens during mixed steps, spec rounds between) — and the
+    result still matches the plain scheduler."""
+    sp = SamplingParams(greedy=True, max_new_tokens=12)
+    plain = ContinuousBatchingScheduler(_engine(), eos_token_id=None)
+    a0 = plain.submit([1, 2, 3], sp)
+    plain.step()
+    b0 = plain.submit(list(range(3, 31)), sp)
+    plain.run()
+
+    spec = SpeculativeScheduler(_engine(), _engine(seed=1),
+                                eos_token_id=None, num_draft=3)
+    a = spec.submit([1, 2, 3], sp)
+    spec.step()
+    b = spec.submit(list(range(3, 31)), sp)
+    spec.run(max_steps=2000)
+    assert a.output_ids == a0.output_ids
+    assert b.output_ids == b0.output_ids
+
+
+def test_spec_scheduler_rejects_sampling():
+    spec = SpeculativeScheduler(_engine(), _engine(), eos_token_id=None)
+    with pytest.raises(ValueError, match="greedy"):
+        spec.submit([1, 2, 3], SamplingParams(temperature=0.8))
+
+
+def test_spec_scheduler_eos_and_capacity():
+    """EOS inside an accepted run stops that request mid-emission; a
+    near-cap request finishes with 'capacity'."""
+    spec = SpeculativeScheduler(_engine(seq=32), _engine(seq=32),
+                                eos_token_id=None, num_draft=3)
+    sp = SamplingParams(greedy=True, max_new_tokens=100)
+    r = spec.submit([1, 2, 3], sp)
+    spec.run(max_steps=2000)
+    assert r.finished and r.finish_reason == "capacity"
+    # k+2 headroom: total context stays within max_seq
+    assert 3 + len(r.output_ids) <= 32
+
+    # eos: pick a token the model actually emits and make it the stop id
+    probe = SpeculativeScheduler(_engine(), _engine(), eos_token_id=None)
+    q = probe.submit([1, 2, 3], SamplingParams(greedy=True,
+                                               max_new_tokens=6))
+    probe.run(max_steps=2000)
+    eos = q.output_ids[3]
+    first = q.output_ids.index(eos)           # tokens may repeat
+    spec2 = SpeculativeScheduler(_engine(), _engine(), eos_token_id=eos)
+    r2 = spec2.submit([1, 2, 3], SamplingParams(greedy=True,
+                                                max_new_tokens=6))
+    spec2.run(max_steps=2000)
+    assert r2.finish_reason == "eos"
+    assert r2.output_ids == q.output_ids[:first]
