@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                     help="mean arrival rate, req/s (Poisson)")
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--draft-model", default="",
+                    help="speculative serving: draft model preset "
+                         "(dummy weights; greedy rounds of --num-draft)")
+    ap.add_argument("--num-draft", type=int, default=4)
     ap.add_argument("--kv-layout", default="slot", choices=["slot", "paged"])
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--num-pages", type=int, default=0,
@@ -70,7 +74,14 @@ def main(argv=None) -> int:
                        page_size=args.page_size,
                        num_pages=args.num_pages)
     engine = create_dummy_engine(args.model, eng, seed=args.seed)
-    sched = ContinuousBatchingScheduler(engine, eos_token_id=None)
+    if args.draft_model:
+        from llm_inference_engine_tpu.runtime.speculative_scheduler import (
+            SpeculativeScheduler)
+        draft = create_dummy_engine(args.draft_model, eng, seed=args.seed)
+        sched = SpeculativeScheduler(engine, draft, eos_token_id=None,
+                                     num_draft=args.num_draft)
+    else:
+        sched = ContinuousBatchingScheduler(engine, eos_token_id=None)
 
     rng = np.random.default_rng(args.seed)
     arrivals = np.cumsum(rng.exponential(1.0 / args.rate, args.requests))

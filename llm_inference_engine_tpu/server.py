@@ -482,6 +482,11 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--tokenizer", default="")
     ap.add_argument("--dummy-weights", action="store_true")
+    ap.add_argument("--draft-model", default="",
+                    help="enable speculative serving with this draft "
+                         "model preset (greedy requests only)")
+    ap.add_argument("--draft-checkpoint", default="")
+    ap.add_argument("--num-draft", type=int, default=4)
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8", "int4"])
     ap.add_argument("--kv-cache-dtype", choices=["", "int8"], default="")
@@ -522,7 +527,15 @@ def main(argv=None) -> int:
                 if args.chat_template == "auto"
                 else get_chat_template(args.chat_template))
     eos = getattr(tokenizer, "eos_id", 2)
-    sched = ContinuousBatchingScheduler(engine, eos_token_id=eos)
+    if args.draft_model:
+        from llm_inference_engine_tpu.runtime.speculative_scheduler import (
+            SpeculativeScheduler)
+        draft = create_engine(args.draft_model,
+                              args.draft_checkpoint or None, eng)
+        sched = SpeculativeScheduler(engine, draft, eos_token_id=eos,
+                                     num_draft=args.num_draft)
+    else:
+        sched = ContinuousBatchingScheduler(engine, eos_token_id=eos)
 
     httpd, llm = make_server(sched, tokenizer, template, args.model,
                              args.host, args.port)
