@@ -236,3 +236,23 @@ def test_qwen2_bias_parity(tmp_path, rng):
     assert cfg.attention_bias and cfg.sliding_window is None
     ids = rng.integers(0, 128, size=(2, 12)).astype(np.int64)
     _hf_round_trip(tmp_path, model, cfg, ids)
+
+
+def test_tied_embeddings_parity(tmp_path, rng):
+    """tie_word_embeddings=True checkpoints (no lm_head.weight tensor in
+    the file: the loader reuses the embedding) match HF end to end."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=True, attn_implementation="eager")
+    torch.manual_seed(4)
+    model = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = ModelConfig.from_dict(hf_cfg.to_dict()).replace(
+        name="tied-tiny", head_dim=16, dtype_name="float32")
+    assert cfg.tie_word_embeddings
+    ids = rng.integers(0, 128, size=(2, 10)).astype(np.int64)
+    _hf_round_trip(tmp_path, model, cfg, ids)
