@@ -75,9 +75,14 @@ def main(argv=None) -> int:
                        num_pages=args.num_pages)
     engine = create_dummy_engine(args.model, eng, seed=args.seed)
     if args.draft_model:
+        if args.kv_layout == "paged":
+            ap.error("--draft-model requires --kv-layout slot")
         from llm_inference_engine_tpu.runtime.speculative_scheduler import (
             SpeculativeScheduler)
-        draft = create_dummy_engine(args.draft_model, eng, seed=args.seed)
+        # a different seed: identical dummy weights would pin acceptance
+        # at 100% and measure a speedup no deployment could see
+        draft = create_dummy_engine(args.draft_model, eng,
+                                    seed=args.seed + 1)
         sched = SpeculativeScheduler(engine, draft, eos_token_id=None,
                                      num_draft=args.num_draft)
     else:

@@ -289,6 +289,16 @@ class InferenceEngine:
     def free_pages(self) -> int:
         return self._allocator.free_pages if self.paged else 1 << 30
 
+    def max_pool_tokens(self) -> int:
+        """Largest context one request can EVER hold: max_seq_len, further
+        capped by the whole paged pool (page 0 is reserved). The single
+        source of truth for admission/rejection thresholds."""
+        cap = self.engine_config.max_seq_len
+        if self.paged:
+            cap = min(cap, (self._allocator.num_pages - 1)
+                      * self.engine_config.page_size)
+        return cap
+
     def pages_needed(self, n_tokens: int) -> int:
         page = self.engine_config.page_size
         return -(-max(n_tokens, 0) // page)

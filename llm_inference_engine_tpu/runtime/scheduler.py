@@ -80,6 +80,8 @@ class ContinuousBatchingScheduler:
         self.waiting: deque[Request] = deque()
         self.slots: list[Optional[Request]] = [None] * self.B
         self._ids = itertools.count()
+        self._dropped: list[Request] = []   # finished outside a slot
+                                            # (reported by the next step)
         # per-slot decoding state (host mirrors)
         self._last_token = np.zeros((self.B,), np.int32)
         self._temp = np.zeros((self.B,), np.float32)
@@ -104,14 +106,11 @@ class ContinuousBatchingScheduler:
         req = Request(id=next(self._ids), prompt_ids=list(prompt_ids),
                       sampling=sampling, stream_callback=stream_callback,
                       submit_time=time.monotonic())
-        too_long = len(req.prompt_ids) >= self.max_seq
-        if not too_long and getattr(self.engine, "paged", False):
-            # a prompt whose pages can NEVER fit the pool would otherwise
-            # sit at the head of the queue forever (admission gate) and
-            # head-of-line block everything behind it
-            total = self.engine._allocator.num_pages - 1
-            too_long = self.engine.pages_needed(
-                len(req.prompt_ids) + 1) > total
+        # reject prompts that can NEVER fit (max_seq, or the whole paged
+        # pool) — they would head-of-line block the admission gate forever
+        too_long = (len(req.prompt_ids) >= self.max_seq
+                    or len(req.prompt_ids) + 1
+                    > self.engine.max_pool_tokens())
         if too_long:
             req.finished = True
             req.finish_reason = "rejected"
@@ -169,15 +168,17 @@ class ContinuousBatchingScheduler:
         while free and self.waiting:
             if paged:
                 head = self.waiting[0]
-                need = self.engine.pages_needed(
-                    len(self._full_context(head)) + 1)
-                if need > self.engine._allocator.num_pages - 1:
+                if (len(self._full_context(head)) + 1
+                        > self.engine.max_pool_tokens()):
                     # grown past what the pool can EVER hold (preempted
                     # request with a long partial output): finish it
                     # rather than head-of-line block the queue forever
                     self.waiting.popleft()
                     self._finish(head, "capacity")
+                    self._dropped.append(head)   # step() must report it
                     continue
+                need = self.engine.pages_needed(
+                    len(self._full_context(head)) + 1)
                 if need > budget:
                     break
                 budget -= need
@@ -283,6 +284,15 @@ class ContinuousBatchingScheduler:
 
     # ------------------------------------------------------------------
 
+    def _mirror_reset(self, slots: list[int]) -> None:
+        """Hook: subclasses running a second engine (speculative) reset
+        its slots alongside the target's."""
+
+    def _mirror_prefill(self, chunks: list[list[int]],
+                        slots: list[int]) -> None:
+        """Hook: subclasses running a second engine prefill the SAME
+        chunks into it so the two caches stay in lockstep."""
+
     def step(self) -> list[Request]:
         """One scheduler step. Returns requests finished this step.
 
@@ -296,18 +306,20 @@ class ContinuousBatchingScheduler:
         "prefill program" and "decode program" to reconcile.
 
         With no admission in flight the step is the pure decode path
-        (single-token fused write+attend kernel — faster than running
-        decode rows through the flash-prefill program at the bucketed
-        chunk width).
+        (``_decode_phase``: single-token fused write+attend kernel, or a
+        speculative round in SpeculativeScheduler).
         """
         before = [r for r in self.slots if r is not None]
-        done: list[Request] = []
+        done: list[Request] = list(self._dropped)   # finished off-slot
+        self._dropped = []
 
         admitted = self._assign_slots()
         for r in admitted:
             r.prefill_pos = 0
         if admitted:
-            self.engine.reset([r.slot for r in admitted])
+            slots = [r.slot for r in admitted]
+            self.engine.reset(slots)
+            self._mirror_reset(slots)
             for r in admitted:
                 if r.output_ids:
                     # preempted request re-admitted: its generated-so-far
@@ -352,6 +364,7 @@ class ContinuousBatchingScheduler:
                     decode_rows.append(r)
                 call_slots.append(r.slot)
             logits = self.engine.prefill(chunks, slots=call_slots)
+            self._mirror_prefill(chunks, call_slots)
             count_mask = np.zeros((self.B,), bool)
             for r in decode_rows:
                 count_mask[r.slot] = True
@@ -373,22 +386,27 @@ class ContinuousBatchingScheduler:
                     self._accept_token(r, int(nxt[r.slot]),
                                        float(lp[r.slot]))
         else:
-            active_mask = np.array([r is not None and not r.finished
-                                    for r in self.slots], bool)
-            if active_mask.any():
-                nxt, lp = self.engine.decode_step(
-                    self._last_token, active_mask, self._samp_arrays,
-                    return_logprobs=True)
-                nxt, lp = np.asarray(nxt), np.asarray(lp)
-                for slot in np.nonzero(active_mask)[0]:
-                    req = self.slots[slot]
-                    if req is not None:
-                        self._accept_token(req, int(nxt[slot]),
-                                           float(lp[slot]))
+            self._decode_phase()
 
         done += [r for r in before + admitted
                  if r.finished and r not in done]
         return done
+
+    def _decode_phase(self) -> None:
+        """Pure decode step over all live slots (no admission in flight).
+        SpeculativeScheduler overrides this with a draft/verify round."""
+        active_mask = np.array([r is not None and not r.finished
+                                for r in self.slots], bool)
+        if active_mask.any():
+            nxt, lp = self.engine.decode_step(
+                self._last_token, active_mask, self._samp_arrays,
+                return_logprobs=True)
+            nxt, lp = np.asarray(nxt), np.asarray(lp)
+            for slot in np.nonzero(active_mask)[0]:
+                req = self.slots[slot]
+                if req is not None:
+                    self._accept_token(req, int(nxt[slot]),
+                                       float(lp[slot]))
 
     def run(self, max_steps: int = 1_000_000) -> list[Request]:
         """Drive until all submitted work completes; returns finished

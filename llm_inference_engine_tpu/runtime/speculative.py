@@ -111,6 +111,15 @@ class SpeculativeDecoder:
                 j < n_acc[:, None], dext,
                 jnp.where(j == n_acc[:, None], bonus[:, None], 0))
 
+            # log P(emitted) under the target at each emitted position
+            # (accepted drafts equal the target argmax there, so this is
+            # the target's own distribution for every emitted token)
+            lf = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(lf, axis=-1)     # [B, k+1]
+            picked = jnp.take_along_axis(lf, emitted[..., None],
+                                         axis=-1)[..., 0]
+            emitted_lp = picked - lse                          # [B, k+1]
+
             # --- rewind both caches to the accepted frontier ---
             t_cache = dataclasses.replace(
                 t_cache, lengths=jnp.where(done, t_len,
@@ -134,7 +143,7 @@ class SpeculativeDecoder:
             # sequence fully accepted (the common case at low acceptance)
             d_cache = jax.lax.cond(jnp.any(full), ingest, lambda c: c,
                                    d_cache)
-            return emitted, n_acc, t_cache, d_cache
+            return emitted, emitted_lp, n_acc, t_cache, d_cache
 
         self._round = _round
 
@@ -177,7 +186,7 @@ class SpeculativeDecoder:
             # accept counts come back to the host ---
             kv_hi_t = self.target._kv_watermark(t_len, self.k + 1)
             kv_hi_d = self.draft._kv_watermark(t_len, self.k + 1)
-            emitted, n_acc, self.target.cache, self.draft.cache = \
+            emitted, _, n_acc, self.target.cache, self.draft.cache = \
                 self._round(
                     self.target.params, self.target.cache,
                     self.draft.params, self.draft.cache,

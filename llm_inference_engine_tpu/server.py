@@ -101,8 +101,14 @@ class LLMServer:
                 def cb(tok, _ev=ev):
                     _ev.put(("token", int(tok)))
 
-                p.request = sched.submit(p.prompt_ids, p.sampling,
-                                         stream_callback=cb)
+                try:
+                    p.request = sched.submit(p.prompt_ids, p.sampling,
+                                             stream_callback=cb)
+                except Exception as e:  # noqa: BLE001 — the engine thread
+                    # must survive a bad request (e.g. a non-greedy submit
+                    # to a speculative scheduler); surface it as an event
+                    ev.put(("error", str(e)))
+                    continue
                 if p.request.finished:      # rejected at submit
                     ev.put(("done", p.request))
                 else:
@@ -127,20 +133,27 @@ class LLMServer:
 
     # -- handler-side API ----------------------------------------------------
 
-    def enqueue(self, prompt_ids, sampling: SamplingParams) -> _Pending:
+    def enqueue(self, prompt_ids, sampling: SamplingParams,
+                n: int = 1) -> list[_Pending]:
+        """Atomically reserve + enqueue ``n`` requests: either all fit
+        under max_queue or none enter (a partial enqueue would leak the
+        in-flight reservation of the ones already queued)."""
         with self._inflight_lock:
-            if self._inflight >= self.max_queue:
+            if self._inflight + n > self.max_queue:
                 raise OverflowError(
                     f"server at capacity ({self.max_queue} in flight)")
-            self._inflight += 1
+            self._inflight += n
         if self._template_stops:
             sampling = dataclasses.replace(
                 sampling, stop_token_ids=tuple(
                     set(sampling.stop_token_ids) | set(self._template_stops)))
-        p = _Pending(prompt_ids=list(prompt_ids), sampling=sampling,
-                     events=queue.Queue())
-        self._submit_q.put(p)
-        return p
+        out = []
+        for _ in range(n):
+            p = _Pending(prompt_ids=list(prompt_ids), sampling=sampling,
+                         events=queue.Queue())
+            self._submit_q.put(p)
+            out.append(p)
+        return out
 
     def request_cancel(self, p: _Pending) -> None:
         """Thread-safe cancel (e.g. a stop string matched): routed through
@@ -148,14 +161,15 @@ class LLMServer:
         self._cancel_q.put(p)
 
     def stream_events(self, p: _Pending, timeout: float = 600.0):
-        """Yield ('token', id) then one final ('done', request)."""
+        """Yield ('token', id) then one final terminal event —
+        ('done', request) or ('error', message)."""
         deadline = time.monotonic() + timeout
         try:
             while True:
                 ev = p.events.get(
                     timeout=max(0.0, deadline - time.monotonic()))
                 yield ev
-                if ev[0] == "done":
+                if ev[0] in ("done", "error"):
                     return
         finally:
             with self._inflight_lock:
@@ -206,6 +220,10 @@ class LLMServer:
             page = eng.engine_config.page_size
             limit = min(limit, (eng._allocator.num_pages - 1) * page - 1)
         return limit
+
+
+class _RequestError(Exception):
+    """A request the scheduler refused at submit (surfaced as HTTP 400)."""
 
 
 def _finish_reason(req) -> str:
@@ -277,6 +295,7 @@ class _Handler(BaseHTTPRequestHandler):
             prompt_ids = self.llm.encode_prompt(body)
             sampling = self.llm.sampling_from(body)
             stops = _parse_stops(body)
+            n = int(body.get("n") or 1)
         except Exception as e:  # noqa: BLE001 — client error surface
             self._json(400, {"error": {"message": str(e)}})
             return
@@ -289,15 +308,13 @@ class _Handler(BaseHTTPRequestHandler):
                             f"the context limit of {limit}"),
                 "type": "context_length_exceeded"}})
             return
-        n = int(body.get("n", 1))
         if n < 1 or n > 16 or (n > 1 and body.get("stream")):
             self._json(400, {"error": {"message":
                              "n must be 1..16 (and 1 when streaming)"}})
             return
 
         try:
-            pendings = [self.llm.enqueue(prompt_ids, sampling)
-                        for _ in range(n)]
+            pendings = self.llm.enqueue(prompt_ids, sampling, n)
         except OverflowError as e:          # backpressure
             self._json(429, {"error": {"message": str(e),
                                        "type": "overloaded"}})
@@ -319,13 +336,16 @@ class _Handler(BaseHTTPRequestHandler):
         """Drain one request: (text, finish_reason, completion_tokens,
         token_texts, token_logprobs) — decoded incrementally with prompt
         context (identical text to streaming mode); stop strings cancel
-        generation early and trim."""
+        generation early and trim. Raises _RequestError on a rejected
+        submit."""
         req = None
         text = ""
         pieces: list = []
         seen = list(prompt_ids)
         finish = None
         for kind, val in self.llm.stream_events(pending):
+            if kind == "error":
+                raise _RequestError(val)
             if kind == "done":
                 req = val
                 continue
@@ -341,6 +361,20 @@ class _Handler(BaseHTTPRequestHandler):
                     text = text[:cut]
                     finish = "stop"
                     self.llm.request_cancel(pending)
+        if finish == "stop":
+            # trim the token pieces to exactly the trimmed text so
+            # ''.join(logprob tokens) == text even when the stop string
+            # landed mid-piece
+            kept, total = [], 0
+            for pc in pieces:
+                if total + len(pc) <= len(text):
+                    kept.append(pc)
+                    total += len(pc)
+                else:
+                    if len(text) > total:
+                        kept.append(pc[:len(text) - total])
+                    break
+            pieces = kept
         lps = list(req.token_logprobs[:len(pieces)])
         return (text, finish or _finish_reason(req), len(req.output_ids),
                 pieces, lps)
@@ -349,10 +383,19 @@ class _Handler(BaseHTTPRequestHandler):
                        stops, want_logprobs=False):
         choices = []
         completion_tokens = 0
-        for i, pending in enumerate(pendings):   # all run concurrently in
-            # the engine; collection order does not serialize them
-            text, finish, ntok, pieces, lps = self._collect_one(
-                pending, prompt_ids, stops)
+        results = []
+        try:
+            for pending in pendings:     # all run concurrently in the
+                # engine; collection order does not serialize them
+                results.append(self._collect_one(pending, prompt_ids,
+                                                 stops))
+        except _RequestError as e:
+            for p in pendings[len(results) + 1:]:
+                for _ in self.llm.stream_events(p):   # drain siblings
+                    pass
+            self._json(400, {"error": {"message": str(e)}})
+            return
+        for i, (text, finish, ntok, pieces, lps) in enumerate(results):
             completion_tokens += ntok
             message = ({"message": {"role": "assistant", "content": text}}
                        if chat else {"text": text})
@@ -378,6 +421,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _stream_response(self, pending, prompt_ids, rid, created, chat,
                          stops=()):
+        # peek the first event BEFORE sending stream headers: a rejected
+        # submit becomes a clean 400 instead of a broken SSE stream
+        events = self.llm.stream_events(pending)
+        try:
+            first = next(events)
+        except StopIteration:
+            first = None
+        if first is not None and first[0] == "error":
+            self._json(400, {"error": {"message": str(first[1])}})
+            return
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")
@@ -414,9 +467,10 @@ class _Handler(BaseHTTPRequestHandler):
         acc = ""
         finish = "stop"
         stopped = False
-        events = self.llm.stream_events(pending)
+        stream = (itertools.chain([first], events) if first is not None
+                  else events)
         try:
-            for kind, val in events:
+            for kind, val in stream:
                 if kind == "token":
                     if stopped:
                         continue        # drain until the cancel lands
@@ -528,6 +582,10 @@ def main(argv=None) -> int:
                 else get_chat_template(args.chat_template))
     eos = getattr(tokenizer, "eos_id", 2)
     if args.draft_model:
+        if args.kv_layout == "paged":
+            print("--draft-model requires --kv-layout slot",
+                  file=sys.stderr)
+            return 2
         from llm_inference_engine_tpu.runtime.speculative_scheduler import (
             SpeculativeScheduler)
         draft = create_engine(args.draft_model,

@@ -306,3 +306,90 @@ def test_logprobs_returned(server):
     content = chat["choices"][0]["logprobs"]["content"]
     assert len(content) == 3
     assert all("token" in c and c["logprob"] <= 0.0 for c in content)
+
+
+def test_n_backpressure_atomic():
+    """n bigger than max_queue: clean 429, nothing leaks, and the server
+    still serves afterwards (review finding: partial enqueue wedged the
+    inflight counter forever)."""
+    httpd, llm, sched = _standalone_server(batch=2, max_queue=2)
+    try:
+        addr = httpd.server_address
+        status, resp = _post(addr, "/v1/completions", {
+            "prompt": "5 9", "max_tokens": 2, "temperature": 0.0, "n": 8})
+        assert status == 429
+        resp.read()
+        status, resp = _post(addr, "/v1/completions", {
+            "prompt": "5 9", "max_tokens": 2, "temperature": 0.0})
+        assert status == 200                 # not wedged
+        resp.read()
+    finally:
+        httpd.shutdown()
+        llm.shutdown()
+
+
+def test_speculative_server_rejects_sampling_cleanly():
+    """A non-greedy request against a speculative server returns 400 and
+    the engine thread survives (review finding: the submit ValueError
+    killed it)."""
+    from llm_inference_engine_tpu.runtime.speculative_scheduler import (
+        SpeculativeScheduler)
+
+    def eng():
+        return InferenceEngine(
+            CFG, EngineConfig(max_batch_size=2, max_seq_len=64,
+                              kernels="xla"),
+            init_dummy_params(CFG, seed=0))
+    sched = SpeculativeScheduler(eng(), eng(), eos_token_id=None)
+    httpd, llm = make_server(sched, _IdTokenizer(CFG.vocab_size),
+                             get_chat_template("plain"), "debug",
+                             host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    llm.start()
+    try:
+        addr = httpd.server_address
+        status, resp = _post(addr, "/v1/completions", {
+            "prompt": "5 9", "max_tokens": 3, "temperature": 0.9})
+        assert status == 400
+        assert "greedy" in _get_json(resp)["error"]["message"]
+        # streaming rejection is a clean 400 too (no broken SSE)
+        status, resp = _post(addr, "/v1/completions", {
+            "prompt": "5 9", "max_tokens": 3, "temperature": 0.9,
+            "stream": True})
+        assert status == 400
+        resp.read()
+        # the engine thread survived: greedy requests still work, through
+        # speculative rounds, with logprobs
+        status, resp = _post(addr, "/v1/completions", {
+            "prompt": "5 9 2", "max_tokens": 5, "temperature": 0.0,
+            "logprobs": 1})
+        assert status == 200
+        out = _get_json(resp)
+        lp = out["choices"][0]["logprobs"]
+        assert len(lp["token_logprobs"]) == 5
+        assert all(l <= 0.0 for l in lp["token_logprobs"])
+        assert "".join(lp["tokens"]) == out["choices"][0]["text"]
+    finally:
+        httpd.shutdown()
+        llm.shutdown()
+
+
+def test_stop_logprobs_tokens_match_trimmed_text(server):
+    """With stop strings AND logprobs, the returned token pieces join to
+    exactly the trimmed text (review finding: pieces kept the stop)."""
+    base = _completion(server, max_tokens=6)
+    full = base["choices"][0]["text"]
+    stop_word = " " + full.split()[2] + " "
+    out = _completion(server, max_tokens=6, stop=[stop_word], logprobs=1)
+    choice = out["choices"][0]
+    assert "".join(choice["logprobs"]["tokens"]) == choice["text"]
+    assert (len(choice["logprobs"]["token_logprobs"])
+            == len(choice["logprobs"]["tokens"]))
+    assert stop_word not in choice["text"]
+
+
+def test_bad_n_is_400(server):
+    status, resp = _post(server, "/v1/completions",
+                         {"prompt": "5", "n": "abc"})
+    assert status == 400
+    resp.read()

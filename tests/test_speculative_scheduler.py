@@ -103,3 +103,30 @@ def test_spec_scheduler_eos_and_capacity():
     spec2.run(max_steps=2000)
     assert r2.finish_reason == "eos"
     assert r2.output_ids == q.output_ids[:first]
+
+
+def test_spec_scheduler_logprobs_match_plain():
+    """Spec rounds attach target logprobs to every accepted token —
+    identical to the plain scheduler's values (review finding: rounds
+    left token_logprobs sparse and misaligned)."""
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+    plain = ContinuousBatchingScheduler(_engine(), eos_token_id=None)
+    p = plain.submit([1, 2, 3], sp)
+    plain.run()
+    spec = SpeculativeScheduler(_engine(), _engine(seed=1),
+                                eos_token_id=None, num_draft=3)
+    s = spec.submit([1, 2, 3], sp)
+    spec.run(max_steps=500)
+    assert s.output_ids == p.output_ids
+    assert len(s.token_logprobs) == len(s.output_ids)
+    np.testing.assert_allclose(s.token_logprobs, p.token_logprobs,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spec_scheduler_rejects_penalties_and_prefix():
+    spec = SpeculativeScheduler(_engine(), _engine(), eos_token_id=None)
+    with pytest.raises(ValueError, match="penalties"):
+        spec.submit([1, 2, 3], SamplingParams(greedy=True,
+                                              repetition_penalty=1.3))
+    with pytest.raises(NotImplementedError):
+        spec.register_prefix([1, 2, 3])
