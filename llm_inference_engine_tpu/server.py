@@ -66,6 +66,11 @@ class LLMServer:
             4 * scheduler.engine.engine_config.max_batch_size)
         self._inflight = 0
         self._inflight_lock = threading.Lock()
+        # serving counters (engine thread writes, /metrics reads)
+        self.requests_completed = 0
+        self.tokens_generated = 0
+        self.ttft_sum = 0.0
+        self.e2e_sum = 0.0
         self._submit_q: "queue.Queue[_Pending]" = queue.Queue()
         self._cancel_q: "queue.Queue[_Pending]" = queue.Queue()
         self._ids = itertools.count()
@@ -124,6 +129,12 @@ class LLMServer:
             if sched.has_work:
                 done = sched.step()
                 for r in done:
+                    self.requests_completed += 1
+                    self.tokens_generated += len(r.output_ids)
+                    if r.ttft is not None:
+                        self.ttft_sum += r.ttft
+                    if r.e2e_latency is not None:
+                        self.e2e_sum += r.e2e_latency
                     ev = getattr(r, "_server_events", None)
                     if ev is not None:
                         ev.put(("done", r))
@@ -211,6 +222,43 @@ class LLMServer:
         except Exception:
             return ""
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the serving counters/gauges."""
+        sched = self.scheduler
+        eng = sched.engine
+        lines = [
+            "# TYPE llm_requests_completed_total counter",
+            f"llm_requests_completed_total {self.requests_completed}",
+            "# TYPE llm_tokens_generated_total counter",
+            f"llm_tokens_generated_total {self.tokens_generated}",
+            "# TYPE llm_ttft_seconds_sum counter",
+            f"llm_ttft_seconds_sum {self.ttft_sum:.6f}",
+            "# TYPE llm_e2e_latency_seconds_sum counter",
+            f"llm_e2e_latency_seconds_sum {self.e2e_sum:.6f}",
+            "# TYPE llm_requests_inflight gauge",
+            f"llm_requests_inflight {self._inflight}",
+            "# TYPE llm_queue_depth gauge",
+            f"llm_queue_depth {len(sched.waiting)}",
+            "# TYPE llm_active_slots gauge",
+            f"llm_active_slots {sched.num_active}",
+            "# TYPE llm_batch_slots gauge",
+            f"llm_batch_slots {eng.engine_config.max_batch_size}",
+        ]
+        if getattr(eng, "paged", False):
+            total = eng._allocator.num_pages - 1
+            lines += [
+                "# TYPE llm_kv_pages_free gauge",
+                f"llm_kv_pages_free {eng.free_pages}",
+                "# TYPE llm_kv_pages_total gauge",
+                f"llm_kv_pages_total {total}",
+            ]
+        if hasattr(sched, "acceptance_rate"):
+            lines += [
+                "# TYPE llm_spec_acceptance_rate gauge",
+                f"llm_spec_acceptance_rate {sched.acceptance_rate:.4f}",
+            ]
+        return "\n".join(lines) + "\n"
+
     def prompt_limit(self) -> int:
         """Largest admissible prompt: the scheduler rejects anything at or
         past max_seq_len (and, paged, past the whole pool)."""
@@ -278,6 +326,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             self._json(200, {"status": "ok"})
+        elif self.path == "/metrics":
+            data = self.llm.metrics_text().encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
         elif self.path == "/v1/models":
             self._json(200, {"object": "list", "data": [
                 {"id": self.llm.model_name, "object": "model",

@@ -393,3 +393,19 @@ def test_bad_n_is_400(server):
                          {"prompt": "5", "n": "abc"})
     assert status == 400
     resp.read()
+
+
+def test_metrics_endpoint(server):
+    _completion(server, max_tokens=3)
+    conn = http.client.HTTPConnection(*server, timeout=60)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/plain")
+    text = resp.read().decode()
+    lines = dict(l.split(" ", 1) for l in text.strip().splitlines()
+                 if not l.startswith("#"))
+    assert int(lines["llm_requests_completed_total"]) >= 1
+    assert int(lines["llm_tokens_generated_total"]) >= 3
+    assert float(lines["llm_ttft_seconds_sum"]) > 0
+    assert int(lines["llm_batch_slots"]) == 2
