@@ -36,10 +36,12 @@ def _ok(name, fn):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--only", default="",
-                    help="comma list: paged,swa,rope,decode,write,engine")
+                    help="comma list: paged,swa,rope,decode,write,engine,"
+                         "fused,spec")
     args = ap.parse_args(argv)
     want = set(filter(None, args.only.split(","))) or {
-        "paged", "swa", "rope", "decode", "write", "engine"}
+        "paged", "swa", "rope", "decode", "write", "engine", "fused",
+        "spec"}
 
     import jax
     import jax.numpy as jnp
@@ -204,6 +206,82 @@ def main(argv=None) -> int:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-2, atol=1e-2)
         results.append(_ok("llama3 rope scaling in-kernel", check_rope))
+
+    if "fused" in want:
+        def check_fused_decode(window=None):
+            from llm_inference_engine_tpu.ops.attention import (
+                attention_decode_fused_mxu)
+            cache_k = jnp.zeros((L, B, S, K, D), jnp.bfloat16)
+            cache_v = jnp.zeros((L, B, S, K, D), jnp.bfloat16)
+            hist = rng.standard_normal((L, B, S, K, D)).astype(np.float32)
+            histv = rng.standard_normal((L, B, S, K, D)).astype(np.float32)
+            cache_k = jnp.asarray(hist, jnp.bfloat16)
+            cache_v = jnp.asarray(histv, jnp.bfloat16)
+            lengths = np.array([200, 512 - 1, 33, 0], np.int32)
+            q = rand(B, 1, H, D)
+            kn, vn = rand(B, 1, K, D), rand(B, 1, K, D)
+            q_start = jnp.asarray(lengths)
+            kv_len = q_start + 1
+            out, kc, vc = attention_decode_fused_mxu(
+                q, kn, vn, cache_k, cache_v, q_start, kv_len,
+                jnp.int32(1), block_kv=128, window=window)
+            # golden: write then attend on the dense layer
+            k1 = np.array(jnp.asarray(cache_k[1], jnp.float32))
+            v1 = np.array(jnp.asarray(cache_v[1], jnp.float32))
+            for b, s0 in enumerate(lengths):
+                k1[b, s0] = np.asarray(kn, np.float32)[b, 0]
+                v1[b, s0] = np.asarray(vn, np.float32)[b, 0]
+            want_ = attention_xla(q, jnp.asarray(k1, jnp.bfloat16),
+                                  jnp.asarray(v1, jnp.bfloat16),
+                                  q_start, kv_len, window=window)
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), np.asarray(want_, np.float32),
+                rtol=5e-2, atol=5e-2)
+            got_k = np.asarray(kc[1], np.float32)
+            for b, s0 in enumerate(lengths):
+                np.testing.assert_allclose(
+                    got_k[b, s0], np.asarray(kn, np.float32)[b, 0])
+        results.append(_ok("fused MXU decode write+attend",
+                           lambda: check_fused_decode(None)))
+        results.append(_ok("fused MXU decode write+attend (window)",
+                           lambda: check_fused_decode(96)))
+
+    if "spec" in want:
+        def check_spec_round():
+            from llm_inference_engine_tpu.config import (
+                EngineConfig, SamplingParams, get_config)
+            from llm_inference_engine_tpu.models.weights import (
+                init_dummy_params)
+            from llm_inference_engine_tpu.runtime.engine import (
+                InferenceEngine)
+            from llm_inference_engine_tpu.runtime.speculative import (
+                SpeculativeDecoder)
+            cfg = get_config("debug").replace(
+                dtype_name="bfloat16", num_layers=2, hidden_size=1024,
+                num_heads=8, num_kv_heads=8, head_dim=128,
+                intermediate_size=2048)
+
+            def eng(seed):
+                return InferenceEngine(
+                    cfg, EngineConfig(max_batch_size=2, max_seq_len=256),
+                    init_dummy_params(cfg, seed=seed))
+            target = eng(0)
+            spec = SpeculativeDecoder(target, eng(0), num_draft=3)
+            res = spec.generate([[1, 2, 3], [9, 8, 7]], max_new_tokens=8,
+                                eos_token_id=None)
+            plain = eng(0).generate(
+                [[1, 2, 3], [9, 8, 7]],
+                SamplingParams(greedy=True, max_new_tokens=8),
+                eos_token_id=None)
+            # bf16 MXU noise between the T=1 decode and T=k+1 verify paths
+            # can flip near-ties (speculative.py docstring), so allow a
+            # small slack on hardware; interpret/f32 runs hit 100%
+            assert res.acceptance_rate >= 0.8, res.acceptance_rate
+            match = sum(a == b for a, b in
+                        zip(res.token_ids, plain.token_ids))
+            assert match >= 1, (res.token_ids, plain.token_ids)
+        results.append(_ok("speculative round (identical draft, lossless)",
+                           check_spec_round))
 
     if "engine" in want:
         def check_engine_paged_parity():
