@@ -113,13 +113,17 @@ def new_paged_kv_cache(num_layers: int, batch_size: int, num_kv_heads: int,
 
 
 class PageAllocator:
-    """Host-side free list over the pool's physical pages. Page 0 is
-    RESERVED as the scratch target every unused table entry points at
-    (clamped index maps may touch it; it never holds live data)."""
+    """Host-side free list over the pool's physical pages, with reference
+    counting so pages can be SHARED read-only across slots (zero-copy
+    prefix caching: one prefix's pages appear in many block tables).
+    Page 0 is RESERVED as the scratch target every unused table entry
+    points at (clamped index maps may touch it; it never holds live
+    data)."""
 
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
         self._free = list(range(num_pages - 1, 0, -1))   # stack, 0 reserved
+        self._rc: dict[int, int] = {}
 
     @property
     def free_pages(self) -> int:
@@ -129,13 +133,33 @@ class PageAllocator:
         if n > len(self._free):
             raise MemoryError(f"paged KV pool exhausted: want {n} pages, "
                               f"{len(self._free)} free")
-        return [self._free.pop() for _ in range(n)]
+        pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._rc[p] = 1
+        return pages
+
+    def share(self, pages: Sequence[int]) -> None:
+        """Add a reference to already-allocated pages (a slot adopting a
+        shared prefix's pages)."""
+        for p in pages:
+            if p not in self._rc:
+                raise ValueError(f"page {p} is not allocated")
+            self._rc[p] += 1
 
     def free(self, pages: Sequence[int]) -> None:
+        """Drop one reference per page; a page returns to the pool when
+        its last reference goes."""
         for p in pages:
             if not 0 < p < self.num_pages:
                 raise ValueError(f"bad page id {p}")
-        self._free.extend(pages)
+            rc = self._rc.get(p, 0)
+            if rc <= 0:
+                raise ValueError(f"double free of page {p}")
+            if rc == 1:
+                del self._rc[p]
+                self._free.append(p)
+            else:
+                self._rc[p] = rc - 1
 
 
 # ---------------------------------------------------------------------------

@@ -315,6 +315,34 @@ class InferenceEngine:
             self.cache = dataclasses.replace(
                 self.cache, block_table=jnp.asarray(self._table_host))
 
+    def adopt_prefix_pages(self, slot: int, pages: Sequence[int],
+                           length: int) -> None:
+        """Point a freshly reset slot's block table at SHARED read-only
+        prefix pages (zero-copy prefix caching, runtime/prefix_cache.py
+        PagedPrefixStore): the allocator refcounts them, the slot's
+        length starts at the shared token count, and all later writes
+        land in the slot's own pages (length is a page multiple, so the
+        chunk-alignment invariant holds)."""
+        assert self.paged and not self._slot_pages[slot]
+        assert length % self.engine_config.page_size == 0
+        self._allocator.share(pages)
+        self._slot_pages[slot] = list(pages)
+        self._table_host[slot, :len(pages)] = pages
+        self.cache = dataclasses.replace(
+            self.cache, block_table=jnp.asarray(self._table_host),
+            lengths=self.cache.lengths.at[slot].set(length))
+
+    def take_slot_pages(self, slot: int, n: int) -> list[int]:
+        """Transfer ownership of a slot's first ``n`` pages to the caller
+        (prefix registration: the snapshot keeps them alive after the
+        scratch slot resets). The slot keeps its remaining pages."""
+        assert self.paged
+        pages = self._slot_pages[slot][:n]
+        self._slot_pages[slot] = self._slot_pages[slot][n:]
+        # the table rows shift down with the remaining pages; the slot is
+        # reset right after registration, which rewrites the row anyway
+        return pages
+
     def ensure_capacity(self, targets) -> None:
         """Grow each slot's page list to cover ``targets`` [B] tokens
         (host-side allocator + block-table update). Raises MemoryError on

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 
 from llm_inference_engine_tpu.utils import round_up
 
-__all__ = ["PrefixEntry", "PrefixStore", "RESTORE_BUCKET"]
+__all__ = ["PrefixEntry", "PrefixStore", "PagedPrefixEntry",
+           "PagedPrefixStore", "RESTORE_BUCKET"]
 
 RESTORE_BUCKET = 64   # snapshot lengths round up to this (bounds the number
                       # of compiled restore variants to max_seq/bucket)
@@ -192,4 +193,104 @@ class PrefixStore:
         """Copy ``entry`` into ``slot`` on the engine; returns the number
         of prompt tokens the caller may skip."""
         self.engine.cache = restore_prefix(self.engine.cache, slot, entry)
+        return entry.length
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy prefix caching for the paged layout
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PagedPrefixEntry:
+    """A prefix held as SHARED read-only pool pages. Restoring it is a
+    block-table edit — no bytes move. Only whole pages are shareable, so
+    ``length`` is the page-aligned floor of the registered prefix; the
+    partial tail re-prefills per request (cheap, < one page)."""
+    tokens: tuple[int, ...]           # the SHARED (page-aligned) tokens
+    length: int                       # == len(tokens), multiple of page
+    pages: list
+
+    @property
+    def padded_length(self) -> int:   # budget accounting parity
+        return self.length
+
+
+class PagedPrefixStore:
+    """PrefixStore interface over shared pool pages (paged engines).
+
+    Unlike the slot-layout store (storage-form copies), entries here cost
+    ZERO copies to restore and their pages are protected by the
+    allocator's refcounts — an entry evicted while slots still reference
+    its pages merely drops one reference."""
+
+    def __init__(self, engine, max_tokens: int = 16384):
+        if not getattr(engine, "paged", False):
+            raise ValueError("PagedPrefixStore needs a paged engine")
+        self.engine = engine
+        self.max_tokens = max_tokens
+        self._entries: OrderedDict[tuple, PagedPrefixEntry] = OrderedDict()
+
+    @property
+    def stored_tokens(self) -> int:
+        return sum(e.length for e in self._entries.values())
+
+    def _evict_to_fit(self, incoming: int) -> None:
+        while (self._entries
+               and self.stored_tokens + incoming > self.max_tokens):
+            _, e = self._entries.popitem(last=False)
+            self.engine._allocator.free(e.pages)
+
+    def evict(self, tokens: Sequence[int]) -> bool:
+        e = self._entries.pop(tuple(tokens), None)
+        if e is None:
+            return False
+        self.engine._allocator.free(e.pages)
+        return True
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def register(self, tokens: Sequence[int], slot: int = 0):
+        """Prefill ``tokens`` on scratch ``slot`` and take its FULL pages
+        as the shared entry (the partial tail page stays with the slot
+        and is freed by the reset)."""
+        key = tuple(int(t) for t in tokens)
+        page = self.engine.engine_config.page_size
+        n_full = len(key) // page
+        shared = key[:n_full * page]
+        if shared in self._entries:
+            self._entries.move_to_end(shared)
+            return self._entries[shared]
+        if n_full == 0:
+            raise ValueError(
+                f"prefix of {len(key)} tokens is shorter than one page "
+                f"({page}): nothing shareable")
+        if len(key) >= self.engine.max_pool_tokens():
+            raise ValueError("prefix exceeds the pool")
+        eng = self.engine
+        eng.reset([slot])
+        eng.prefill([list(shared)], slots=[slot])
+        pages = eng.take_slot_pages(slot, n_full)
+        eng.reset([slot])                 # frees any tail page only
+        entry = PagedPrefixEntry(tokens=shared, length=len(shared),
+                                 pages=pages)
+        self._evict_to_fit(entry.length)
+        self._entries[shared] = entry
+        return entry
+
+    def match(self, prompt: Sequence[int]):
+        best = None
+        for key, entry in self._entries.items():
+            if (len(key) < len(prompt)
+                    and (best is None or len(key) > len(best.tokens))
+                    and tuple(prompt[:len(key)]) == key):
+                best = entry
+        if best is not None:
+            self._entries.move_to_end(best.tokens)
+        return best
+
+    def restore(self, slot: int, entry: PagedPrefixEntry) -> int:
+        """Adopt the shared pages into ``slot`` (block-table edit, zero
+        copies); returns the prompt tokens the caller may skip."""
+        self.engine.adopt_prefix_pages(slot, entry.pages, entry.length)
         return entry.length

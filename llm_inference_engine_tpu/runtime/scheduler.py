@@ -200,14 +200,15 @@ class ContinuousBatchingScheduler:
     def register_prefix(self, tokens: Sequence[int]):
         """Prefill + snapshot a shared prompt prefix (e.g. the system
         prompt) so later submissions starting with it skip its prefill.
-        Creates the PrefixStore on first use; needs one currently-free
-        slot as scratch."""
-        if getattr(self.engine, "paged", False):
-            raise NotImplementedError(
-                "prefix caching requires kv_layout='slot'")
+        Creates the store on first use (storage-form snapshots for the
+        slot layout; zero-copy shared pool pages for the paged layout);
+        needs one currently-free slot as scratch."""
         if self.prefix_store is None:
-            from llm_inference_engine_tpu.runtime.prefix_cache import PrefixStore
-            self.prefix_store = PrefixStore(self.engine)
+            from llm_inference_engine_tpu.runtime.prefix_cache import (
+                PagedPrefixStore, PrefixStore)
+            cls = (PagedPrefixStore if getattr(self.engine, "paged", False)
+                   else PrefixStore)
+            self.prefix_store = cls(self.engine)
         free = [i for i, r in enumerate(self.slots) if r is None]
         if not free:
             raise RuntimeError("no free slot to register a prefix on")
@@ -326,11 +327,10 @@ class ContinuousBatchingScheduler:
                     # tokens re-prefill as context; restore their GENERATED
                     # counts so presence/frequency penalties stay exact
                     self.engine.seed_counts(r.slot, gen_tokens=r.output_ids)
-            if (self.prefix_store is not None
-                    and not getattr(self.engine, "paged", False)):
-                # shared-prefix reuse: restore the snapshot's KV rows into
-                # the slot and prefill only the tail (prefix_cache.py;
-                # slot layout only — paged restore is future work)
+            if self.prefix_store is not None:
+                # shared-prefix reuse: restore the prefix into the slot
+                # (storage-form copy for the slot layout; zero-copy shared
+                # pages for the paged layout) and prefill only the tail
                 for r in admitted:
                     entry = self.prefix_store.match(r.prompt_ids)
                     if entry is not None:

@@ -143,3 +143,100 @@ def test_prefix_reuse_preserves_repetition_penalty():
     reused = _run_sched(prompts, sp, prefix=PREFIX)
     assert all(r.reused_prefix_len == len(PREFIX) for r in reused)
     assert [r.output_ids for r in reused] == [r.output_ids for r in base]
+
+
+# ---------------------------------------------------------------------------
+# zero-copy paged prefix caching (PagedPrefixStore)
+# ---------------------------------------------------------------------------
+
+def _paged_engine(**kw):
+    eng = EngineConfig(max_batch_size=2, max_seq_len=96, kernels="xla",
+                       max_prefill_len=16, kv_layout="paged", page_size=16,
+                       **kw)
+    return InferenceEngine(CFG, eng, init_dummy_params(CFG, seed=0))
+
+
+def _run_paged_sched(prompts, sp, prefix=None, **kw):
+    sched = ContinuousBatchingScheduler(_paged_engine(**kw),
+                                        eos_token_id=None)
+    if prefix is not None:
+        sched.register_prefix(prefix)
+    reqs = [sched.submit(p, sp) for p in prompts]
+    sched.run(max_steps=1000)
+    return sched, reqs
+
+
+def test_paged_prefix_token_parity_with_penalties():
+    """Zero-copy shared pages reproduce the no-reuse run exactly — greedy
+    AND with repetition penalty (ctx counts seeded from shared tokens)."""
+    prefix = list(range(5, 5 + 32))            # 2 full pages at page=16
+    prompts = [prefix + [40, 41], prefix + [50]]
+    for sp in (SamplingParams(greedy=True, max_new_tokens=6),
+               SamplingParams(greedy=True, max_new_tokens=6,
+                              repetition_penalty=1.5)):
+        _, base = _run_paged_sched(prompts, sp)
+        sched, reused = _run_paged_sched(prompts, sp, prefix=prefix)
+        assert all(r.reused_prefix_len == 32 for r in reused)
+        assert ([r.output_ids for r in reused]
+                == [r.output_ids for r in base])
+        # all request pages returned; the 2 shared pages stay with the
+        # store (refcounted)
+        alloc = sched.engine._allocator
+        assert sched.engine.free_pages == alloc.num_pages - 1 - 2
+
+
+def test_paged_prefix_is_zero_copy_shared():
+    """Two concurrent requests over a 2-page prefix consume shared pages
+    ONCE: the pool dips by 2 shared + per-request tails only."""
+    prefix = list(range(5, 5 + 32))
+    sched = ContinuousBatchingScheduler(_paged_engine(), eos_token_id=None)
+    sched.register_prefix(prefix)
+    total = sched.engine._allocator.num_pages - 1
+    assert sched.engine.free_pages == total - 2      # store holds 2 pages
+
+    sp = SamplingParams(greedy=True, max_new_tokens=4)
+    a = sched.submit(prefix + [40, 41], sp)
+    b = sched.submit(prefix + [50, 51], sp)
+    sched.step()                                     # both admitted
+    assert a.reused_prefix_len == 32 and b.reused_prefix_len == 32
+    # in flight: 2 shared pages (refcounted, counted once) + 1 own tail
+    # page per request = 4 pages out, NOT 2 * 3 = 6
+    assert sched.engine.free_pages == total - 4
+    sched.run(max_steps=1000)
+    assert sched.engine.free_pages == total - 2      # only the store holds
+
+
+def test_paged_prefix_eviction_while_in_use():
+    """Evicting an entry while a request still references its pages only
+    drops the store's reference; the pages free when the request ends."""
+    prefix = list(range(5, 5 + 16))                  # 1 page
+    sched = ContinuousBatchingScheduler(_paged_engine(), eos_token_id=None)
+    sched.register_prefix(prefix)
+    total = sched.engine._allocator.num_pages - 1
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+    r = sched.submit(prefix + [40, 41], sp)
+    sched.step()
+    assert r.reused_prefix_len == 16
+    assert sched.prefix_store.evict(prefix)
+    assert sched.engine.free_pages < total           # request still holds
+    sched.run(max_steps=1000)
+    assert r.finished and len(r.output_ids) == 8
+    assert sched.engine.free_pages == total          # everything returned
+
+
+def test_paged_prefix_register_validations():
+    from llm_inference_engine_tpu.runtime.prefix_cache import (
+        PagedPrefixStore)
+    eng = _paged_engine()
+    store = PagedPrefixStore(eng, max_tokens=64)
+    with pytest.raises(ValueError, match="shorter than one page"):
+        store.register(list(range(5)), slot=0)
+    # partial tail page is NOT shared: a 20-token prefix shares 16
+    e = store.register(list(range(3, 23)), slot=0)
+    assert e.length == 16 and len(e.pages) == 1
+    # LRU eviction frees pages back to the pool
+    total = eng._allocator.num_pages - 1
+    store.register(list(range(40, 88)), slot=0)      # 48 tok -> 3 pages
+    store.register(list(range(100, 132)), slot=0)    # 32 tok -> evicts
+    assert store.stored_tokens <= 64
+    assert eng.free_pages == total - store.stored_tokens // 16
