@@ -294,3 +294,89 @@ class PagedPrefixStore:
         copies); returns the prompt tokens the caller may skip."""
         self.engine.adopt_prefix_pages(slot, entry.pages, entry.length)
         return entry.length
+
+
+class AutoPrefixCache:
+    """Automatic prefix caching for paged engines (the vLLM-APC idea):
+    every FINISHED request donates its page-aligned context pages to a
+    hash cache — no registration — and every admission adopts the longest
+    cached chain matching its prompt. Multi-turn chat over the stateless
+    HTTP endpoint is the killer case: round N+1 resends round N's whole
+    conversation, whose pages are all still here.
+
+    Entry i of a donated context covers tokens[:i*page] and holds a
+    reference on pages[:i] (the allocator refcounts; eviction and slot
+    frees each drop one reference, the page returns to the pool with the
+    last). ``max_pages`` bounds the cache's distinct page references
+    (LRU)."""
+
+    def __init__(self, engine, max_pages: int = 1024):
+        if not getattr(engine, "paged", False):
+            raise ValueError("AutoPrefixCache needs a paged engine")
+        self.engine = engine
+        self.max_pages = max_pages
+        self._chains: OrderedDict[tuple, list] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+        self.tokens_reused = 0
+
+    @property
+    def cached_pages(self) -> int:
+        """DISTINCT pages held by the cache (chains share their common
+        prefix pages — that is the whole point — so the HBM footprint is
+        the union, not the sum of chain lengths)."""
+        pages: set = set()
+        for chain in self._chains.values():
+            pages.update(chain)
+        return len(pages)
+
+    def _evict_to_fit(self, incoming: int) -> None:
+        while (self._chains
+               and self.cached_pages + incoming > self.max_pages):
+            _, pages = self._chains.popitem(last=False)
+            self.engine._allocator.free(pages)
+
+    def insert(self, tokens: Sequence[int], slot_pages: Sequence[int],
+               valid_tokens: int) -> None:
+        """Donate a finishing slot's pages: one chain entry per page-
+        aligned prefix of ``tokens[:valid_tokens]`` not already cached.
+        Call BEFORE the slot releases its pages."""
+        page = self.engine.engine_config.page_size
+        n_full = min(valid_tokens // page, len(slot_pages))
+        for i in range(n_full, 0, -1):
+            key = tuple(int(t) for t in tokens[:i * page])
+            if key in self._chains:
+                self._chains.move_to_end(key)
+                continue
+            if i > self.max_pages:
+                continue
+            self._evict_to_fit(i)
+            chain = list(slot_pages[:i])
+            self.engine._allocator.share(chain)
+            self._chains[key] = chain
+
+    def match(self, prompt: Sequence[int]):
+        """Longest cached chain strictly prefixing ``prompt`` (at least
+        one tail token must remain). Returns (tokens, pages) or None."""
+        page = self.engine.engine_config.page_size
+        max_i = (len(prompt) - 1) // page
+        for i in range(max_i, 0, -1):
+            key = tuple(int(t) for t in prompt[:i * page])
+            chain = self._chains.get(key)
+            if chain is not None:
+                self._chains.move_to_end(key)
+                self.hits += 1
+                self.tokens_reused += i * page
+                return key, chain
+        self.misses += 1
+        return None
+
+    def restore(self, slot: int, match) -> int:
+        tokens, pages = match
+        self.engine.adopt_prefix_pages(slot, pages, len(tokens))
+        return len(tokens)
+
+    def clear(self) -> None:
+        for pages in self._chains.values():
+            self.engine._allocator.free(pages)
+        self._chains.clear()

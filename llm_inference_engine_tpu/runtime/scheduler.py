@@ -71,10 +71,17 @@ class Request:
 
 class ContinuousBatchingScheduler:
     def __init__(self, engine, eos_token_id: Optional[int] = 2,
-                 prefix_store=None):
+                 prefix_store=None, auto_prefix_cache: bool = False,
+                 auto_prefix_pages: int = 1024):
         self.engine = engine
         self.eos_token_id = eos_token_id
         self.prefix_store = prefix_store
+        self.auto_prefix = None
+        if auto_prefix_cache:
+            from llm_inference_engine_tpu.runtime.prefix_cache import (
+                AutoPrefixCache)
+            self.auto_prefix = AutoPrefixCache(engine,
+                                               max_pages=auto_prefix_pages)
         self.B = engine.engine_config.max_batch_size
         self.max_seq = engine.engine_config.max_seq_len
         self.waiting: deque[Request] = deque()
@@ -281,6 +288,14 @@ class ContinuousBatchingScheduler:
             self.slots[slot] = None
             req.slot = -1
             if getattr(self.engine, "paged", False):
+                if self.auto_prefix is not None:
+                    # donate the page-aligned context to the automatic
+                    # prefix cache before the slot releases its pages
+                    # (the final accepted token was never written, hence
+                    # the -1 on the valid span)
+                    ctx = req.prompt_ids + req.output_ids
+                    self.auto_prefix.insert(
+                        ctx, self.engine._slot_pages[slot], len(ctx) - 1)
                 self.engine.reset([slot])   # release pages immediately
 
     # ------------------------------------------------------------------
@@ -327,20 +342,32 @@ class ContinuousBatchingScheduler:
                     # tokens re-prefill as context; restore their GENERATED
                     # counts so presence/frequency penalties stay exact
                     self.engine.seed_counts(r.slot, gen_tokens=r.output_ids)
-            if self.prefix_store is not None:
+            if self.prefix_store is not None or self.auto_prefix is not None:
                 # shared-prefix reuse: restore the prefix into the slot
                 # (storage-form copy for the slot layout; zero-copy shared
-                # pages for the paged layout) and prefill only the tail
+                # pages for the paged layout) and prefill only the tail.
+                # Registered prefixes first, then the automatic page cache
                 for r in admitted:
-                    entry = self.prefix_store.match(r.prompt_ids)
+                    ctx = self._full_context(r)
+                    entry = (self.prefix_store.match(ctx)
+                             if self.prefix_store is not None else None)
                     if entry is not None:
                         r.prefill_pos = self.prefix_store.restore(r.slot,
                                                                   entry)
                         r.reused_prefix_len = entry.length
-                        # the skipped prefix tokens still count as context
-                        # for the repetition penalty
-                        self.engine.seed_counts(r.slot,
-                                                ctx_tokens=entry.tokens)
+                        seed_tokens = entry.tokens
+                    elif self.auto_prefix is not None:
+                        m = self.auto_prefix.match(ctx)
+                        if m is None:
+                            continue
+                        r.prefill_pos = self.auto_prefix.restore(r.slot, m)
+                        r.reused_prefix_len = r.prefill_pos
+                        seed_tokens = m[0]
+                    else:
+                        continue
+                    # the skipped prefix tokens still count as context
+                    # for the repetition penalty
+                    self.engine.seed_counts(r.slot, ctx_tokens=seed_tokens)
         done += [r for r in admitted if r.finished]
 
         self._fit_or_preempt()

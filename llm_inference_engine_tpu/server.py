@@ -257,6 +257,18 @@ class LLMServer:
                 "# TYPE llm_spec_acceptance_rate gauge",
                 f"llm_spec_acceptance_rate {sched.acceptance_rate:.4f}",
             ]
+        if getattr(sched, "auto_prefix", None) is not None:
+            ap = sched.auto_prefix
+            lines += [
+                "# TYPE llm_prefix_cache_hits_total counter",
+                f"llm_prefix_cache_hits_total {ap.hits}",
+                "# TYPE llm_prefix_cache_misses_total counter",
+                f"llm_prefix_cache_misses_total {ap.misses}",
+                "# TYPE llm_prefix_tokens_reused_total counter",
+                f"llm_prefix_tokens_reused_total {ap.tokens_reused}",
+                "# TYPE llm_prefix_cache_pages gauge",
+                f"llm_prefix_cache_pages {ap.cached_pages}",
+            ]
         return "\n".join(lines) + "\n"
 
     def prompt_limit(self) -> int:
@@ -605,6 +617,10 @@ def main(argv=None) -> int:
     ap.add_argument("--kv-layout", default="slot", choices=["slot", "paged"])
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--num-pages", type=int, default=0)
+    ap.add_argument("--auto-prefix-cache", action="store_true",
+                    help="paged only: finished requests donate their page "
+                         "chains; matching prompts (e.g. multi-turn chat "
+                         "resends) skip their prefill, zero-copy")
     ap.add_argument("--chat-template", default="auto")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
@@ -649,7 +665,10 @@ def main(argv=None) -> int:
         sched = SpeculativeScheduler(engine, draft, eos_token_id=eos,
                                      num_draft=args.num_draft)
     else:
-        sched = ContinuousBatchingScheduler(engine, eos_token_id=eos)
+        sched = ContinuousBatchingScheduler(
+            engine, eos_token_id=eos,
+            auto_prefix_cache=args.auto_prefix_cache
+            and args.kv_layout == "paged")
 
     httpd, llm = make_server(sched, tokenizer, template, args.model,
                              args.host, args.port)

@@ -240,3 +240,81 @@ def test_paged_prefix_register_validations():
     store.register(list(range(100, 132)), slot=0)    # 32 tok -> evicts
     assert store.stored_tokens <= 64
     assert eng.free_pages == total - store.stored_tokens // 16
+
+
+# ---------------------------------------------------------------------------
+# automatic prefix caching (paged, no registration)
+# ---------------------------------------------------------------------------
+
+def _auto_sched(**kw):
+    return ContinuousBatchingScheduler(_paged_engine(**kw),
+                                       eos_token_id=None,
+                                       auto_prefix_cache=True)
+
+
+def test_auto_prefix_multi_turn_reuse():
+    """The stateless multi-turn pattern: round 2 resends round 1's whole
+    conversation — its pages are still cached, so only the new turn
+    prefills. Tokens equal a cold engine's."""
+    sp = SamplingParams(greedy=True, max_new_tokens=6)
+    sched = _auto_sched()
+    prompt1 = list(range(3, 3 + 20))
+    r1 = sched.submit(prompt1, sp)
+    sched.run(max_steps=500)
+    convo = prompt1 + r1.output_ids
+    prompt2 = convo + [90, 91, 92]
+    r2 = sched.submit(prompt2, sp)
+    sched.run(max_steps=500)
+    # page=16: conversation is 26 tokens, 25 written -> 1 full page reused
+    assert r2.reused_prefix_len == 16
+    assert sched.auto_prefix.hits == 1
+
+    cold = ContinuousBatchingScheduler(_paged_engine(), eos_token_id=None)
+    c2 = cold.submit(prompt2, sp)
+    cold.run(max_steps=500)
+    assert r2.output_ids == c2.output_ids
+
+
+def test_auto_prefix_identical_prompts_and_accounting():
+    sp = SamplingParams(greedy=True, max_new_tokens=4)
+    sched = _auto_sched()
+    total = sched.engine._allocator.num_pages - 1
+    prompt = list(range(5, 5 + 33))              # 2 full pages written
+    a = sched.submit(prompt, sp)
+    sched.run(max_steps=500)
+    assert a.reused_prefix_len == 0
+    b = sched.submit(prompt, sp)
+    sched.run(max_steps=500)
+    assert b.reused_prefix_len == 32             # both pages reused
+    assert b.output_ids == a.output_ids
+    # pool accounting: only the cache's references remain
+    cached = sched.auto_prefix.cached_pages
+    assert sched.engine.free_pages == total - cached
+    sched.auto_prefix.clear()
+    assert sched.engine.free_pages == total
+
+
+def test_auto_prefix_with_penalties_parity():
+    sp = SamplingParams(greedy=True, max_new_tokens=6,
+                        repetition_penalty=1.4, frequency_penalty=0.3)
+    prompt = list(range(7, 7 + 40))
+    warm = _auto_sched()
+    w1 = warm.submit(prompt, sp)
+    warm.run(max_steps=500)
+    w2 = warm.submit(prompt, sp)
+    warm.run(max_steps=500)
+    assert w2.reused_prefix_len > 0
+    assert w2.output_ids == w1.output_ids        # counts seeded correctly
+
+
+def test_auto_prefix_lru_budget():
+    sp = SamplingParams(greedy=True, max_new_tokens=3)
+    sched = ContinuousBatchingScheduler(
+        _paged_engine(), eos_token_id=None, auto_prefix_cache=True,
+        auto_prefix_pages=3)
+    total = sched.engine._allocator.num_pages - 1
+    for base in (10, 60, 110, 160):
+        sched.submit(list(range(base, base + 20)), sp)
+        sched.run(max_steps=500)
+    assert sched.auto_prefix.cached_pages <= 3
+    assert sched.engine.free_pages == total - sched.auto_prefix.cached_pages
