@@ -18,8 +18,12 @@ TPU design: the packed-qkv *split* is an XLA slice (zero-copy view into the
 projection output — the reference needed a kernel for it only because it
 also re-inserted padding); the *rotation* is a Pallas kernel gridded over
 (token block, head) so all in-kernel math stays 2-D [rows, head_dim]
-(Mosaic has no general N-D shape casts). cos/sin are computed in-kernel
-from the integer positions via exp/log — no [max_seq, dim] table in HBM.
+(Mosaic has no general N-D shape casts). cos/sin are computed by XLA from
+the integer positions and streamed into the kernel as [T, half] inputs:
+Mosaic's in-kernel sin/cos lose precision in range reduction at large
+angles (position ~30k → ~0.25 output error, caught on real hardware by
+benchmarks/validate_tpu.py), while XLA's match the golden exactly. No
+[max_seq, dim] table lives in HBM — cos/sin are fused per call.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -37,42 +42,69 @@ from llm_inference_engine_tpu.utils import cdiv, pallas_interpret, use_pallas
 __all__ = ["apply_rope", "apply_rope_xla", "split_qkv_rope", "split_qkv_rope_xla"]
 
 
-def _llama3_inv_freq(inv_freq, rs):
+def _llama3_inv_freq_np(inv_freq, rs):
     """Llama-3.1 frequency-dependent scaling (HF rope_type "llama3"):
     wavelengths past the original context are slowed by ``factor``, short
-    wavelengths kept, smooth ramp between. Elementwise — runs unchanged in
-    XLA and inside the Mosaic kernel."""
+    wavelengths kept, smooth ramp between. Host-side float64 — the result
+    feeds the modular-constant tables in :func:`_rope_cos_sin`."""
     orig = float(rs.original_max_position_embeddings)
     wavelen = (2.0 * math.pi) / inv_freq
-    smooth = ((orig / wavelen - rs.low_freq_factor)
-              / (rs.high_freq_factor - rs.low_freq_factor))
-    smooth = jnp.clip(smooth, 0.0, 1.0)
-    scaled = ((1.0 - smooth) * inv_freq / rs.factor + smooth * inv_freq)
-    return jnp.where(wavelen < orig / rs.high_freq_factor, inv_freq,
-                     jnp.where(wavelen > orig / rs.low_freq_factor,
-                               inv_freq / rs.factor, scaled))
+    smooth = np.clip((orig / wavelen - rs.low_freq_factor)
+                     / (rs.high_freq_factor - rs.low_freq_factor), 0.0, 1.0)
+    scaled = (1.0 - smooth) * inv_freq / rs.factor + smooth * inv_freq
+    return np.where(wavelen < orig / rs.high_freq_factor, inv_freq,
+                    np.where(wavelen > orig / rs.low_freq_factor,
+                             inv_freq / rs.factor, scaled))
 
 
-def _apply_scaling(inv_freq, pos, scaling):
-    """Dispatch the two scaling flavors: float = linear position divide,
-    RopeScaling = llama3 per-frequency transform."""
-    if scaling is None:
-        return inv_freq, pos
-    if isinstance(scaling, (int, float)):
-        return inv_freq, pos / scaling
-    return _llama3_inv_freq(inv_freq, scaling), pos
+_TWO_PI = 2.0 * math.pi
+# Cody-Waite split of 2*pi: P1 keeps 12 mantissa bits (k*P1 exact for
+# k < 2^12), P2/P3 carry the remainder at full/residual f32 precision.
+_P1 = float(np.float64(int(_TWO_PI * 4096.0) / 4096.0))
+_P2 = float(np.float32(_TWO_PI - _P1))
+_P3 = float(np.float64(_TWO_PI) - _P1 - np.float64(np.float32(_TWO_PI - _P1)))
 
 
 def _rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
                   scaling=None):
-    """cos/sin [..., head_dim//2] (f32) for integer positions [...]."""
+    """cos/sin [..., head_dim//2] (f32) for integer positions [...].
+
+    Plain f32 ``cos(pos * inv_freq)`` is ill-conditioned on TPU: at
+    position ~30k the angle's own f32 ulp is ~2e-3 and XLA's f32 trig
+    range reduction loses another ~5e-2 (measured on v5e, and the error
+    even differs between fusion contexts, so two lowerings of the same
+    formula disagree). Instead the integer position is decomposed into
+    bytes ``pos = a*2^16 + b*2^8 + r`` and the angle is rebuilt mod 2*pi
+    from host-precomputed float64 constants ``c2 = (2^16*f) mod 2*pi``,
+    ``c1 = (2^8*f) mod 2*pi`` — every term stays < 256*2*pi, then one
+    Cody-Waite reduction brings it to [-pi, pi] where TPU trig is exact
+    to f32. Absolute angle error ~2e-4 for positions up to 2^20, vs
+    ~5e-2 for the naive formula. Linear ("dynamic") scaling folds into
+    inv_freq (pos/s * f == pos * (f/s)); llama3 scaling transforms
+    inv_freq host-side in float64.
+    """
     half = head_dim // 2
-    freq_exp = jnp.arange(half, dtype=jnp.float32) * (2.0 / head_dim)
-    inv_freq = 1.0 / (theta ** freq_exp)  # [half]
-    pos = positions.astype(jnp.float32)
-    inv_freq, pos = _apply_scaling(inv_freq, pos, scaling)
-    angles = pos[..., None] * inv_freq  # [..., half]
-    return jnp.cos(angles), jnp.sin(angles)
+    freq_exp = np.arange(half, dtype=np.float64) * (2.0 / head_dim)
+    inv64 = 1.0 / (float(theta) ** freq_exp)  # [half] f64, host
+    if isinstance(scaling, (int, float)):
+        inv64 = inv64 / float(scaling)
+    elif scaling is not None:
+        inv64 = _llama3_inv_freq_np(inv64, scaling)
+    c2 = jnp.asarray(np.mod(inv64 * 65536.0, _TWO_PI), jnp.float32)
+    c1 = jnp.asarray(np.mod(inv64 * 256.0, _TWO_PI), jnp.float32)
+    c0 = jnp.asarray(np.mod(inv64, _TWO_PI), jnp.float32)
+
+    pos_i = positions.astype(jnp.int32)
+    sign = jnp.where(pos_i < 0, -1.0, 1.0).astype(jnp.float32)[..., None]
+    pos_i = jnp.abs(pos_i)
+    a = (pos_i >> 16).astype(jnp.float32)[..., None]
+    b = ((pos_i >> 8) & 255).astype(jnp.float32)[..., None]
+    r = (pos_i & 255).astype(jnp.float32)[..., None]
+    angles = a * c2 + b * c1 + r * c0            # [..., half], < ~4824
+    k = jnp.round(angles * (1.0 / _TWO_PI))
+    angles = ((angles - k * _P1) - k * _P2) - k * _P3
+    # cos is even, sin odd: negative positions via the sign factor
+    return jnp.cos(angles), sign * jnp.sin(angles)
 
 
 def _rotate(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -97,21 +129,16 @@ def apply_rope_xla(x: jax.Array, positions: jax.Array, theta: float = 10000.0,
 # Pallas kernel: rotation over [T, N_heads, D], gridded (token block, head)
 # ---------------------------------------------------------------------------
 
-def _rope_kernel(pos_ref, x_ref, o_ref, *, head_dim, theta, scaling):
-    rows = x_ref.shape[1]
+def _rope_kernel(cos_ref, sin_ref, x_ref, o_ref, *, head_dim):
     half = head_dim // 2
     x = x_ref[0]                                         # [rows, D]
 
-    # Mosaic-safe cos/sin: integer 2-D iota, float math via exp/log
-    # (float iota is not lowerable on TPU).
-    i2 = jax.lax.broadcasted_iota(jnp.int32, (rows, half), 1)
-    inv_freq = jnp.exp(i2.astype(jnp.float32)
-                       * ((-2.0 / head_dim) * math.log(theta)))
-    pos = pos_ref[:].astype(jnp.float32).reshape(rows, 1)
-    inv_freq, pos = _apply_scaling(inv_freq, pos, scaling)
-    angles = pos * inv_freq                              # [rows, half]
-    cos = jnp.cos(angles)
-    sin = jnp.sin(angles)
+    # cos/sin arrive precomputed by XLA: Mosaic's in-kernel sin/cos lose
+    # precision in range reduction at large angles (position ~30k →
+    # ~0.25 output error, caught by validate_tpu.py on hardware), while
+    # XLA's transcendentals reduce properly and match the golden exactly.
+    cos = cos_ref[:]                                     # [rows, half]
+    sin = sin_ref[:]
 
     x1 = x[:, :half].astype(jnp.float32)
     x2 = x[:, half:].astype(jnp.float32)
@@ -126,15 +153,19 @@ def _apply_rope_pallas(x, positions, theta, scaling, block_rows, interpret):
     """x: [n_heads, T, D] (head-major so blocks are (1, bt, D) — legal TPU
     tiles for any head count)."""
     n_heads, tokens, head_dim = x.shape
+    half = head_dim // 2
     grid = (n_heads, cdiv(tokens, block_rows))
-    kern = functools.partial(_rope_kernel, head_dim=head_dim, theta=theta,
-                             scaling=scaling)
+    # Same cos/sin as the XLA golden (see _rope_kernel for why).
+    cos, sin = _rope_cos_sin(positions, head_dim, theta, scaling)
+    kern = functools.partial(_rope_kernel, head_dim=head_dim)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_rows,), lambda h, i: (i,),
+            pl.BlockSpec((block_rows, half), lambda h, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, half), lambda h, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rows, head_dim), lambda h, i: (h, i, 0),
                          memory_space=pltpu.VMEM),
@@ -143,7 +174,7 @@ def _apply_rope_pallas(x, positions, theta, scaling, block_rows, interpret):
                                lambda h, i: (h, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(positions, x)
+    )(cos, sin, x)
 
 
 def apply_rope(x, positions, theta: float = 10000.0,
