@@ -289,6 +289,16 @@ class PagedPrefixStore:
             self._entries.move_to_end(best.tokens)
         return best
 
+    def match_len(self, prompt: Sequence[int]) -> int:
+        """Reusable token count WITHOUT touching LRU order (admission
+        gating peek; entries are page-aligned by construction)."""
+        best = 0
+        for key in self._entries:
+            if (best < len(key) < len(prompt)
+                    and tuple(prompt[:len(key)]) == key):
+                best = len(key)
+        return best
+
     def restore(self, slot: int, entry: PagedPrefixEntry) -> int:
         """Adopt the shared pages into ``slot`` (block-table edit, zero
         copies); returns the prompt tokens the caller may skip."""
@@ -350,8 +360,14 @@ class AutoPrefixCache:
                 continue
             if i > self.max_pages:
                 continue
-            self._evict_to_fit(i)
             chain = list(slot_pages[:i])
+            # budget only the DISTINCT pages this chain adds — its prefix
+            # chains (inserted next, i-1, i-2, ...) share every page, and
+            # charging them again would evict the longer chain just added
+            cached: set = set()
+            for c in self._chains.values():
+                cached.update(c)
+            self._evict_to_fit(len(set(chain) - cached))
             self.engine._allocator.share(chain)
             self._chains[key] = chain
 
@@ -375,6 +391,30 @@ class AutoPrefixCache:
         tokens, pages = match
         self.engine.adopt_prefix_pages(slot, pages, len(tokens))
         return len(tokens)
+
+    def match_len(self, prompt: Sequence[int]) -> int:
+        """Reusable (page-aligned) token count for ``prompt`` WITHOUT
+        touching LRU order or hit/miss counters — admission gating peeks
+        at what a later real match would reuse."""
+        page = self.engine.engine_config.page_size
+        for i in range((len(prompt) - 1) // page, 0, -1):
+            if tuple(int(t) for t in prompt[:i * page]) in self._chains:
+                return i * page
+        return 0
+
+    def evict_for(self, n_pages: int) -> int:
+        """Free LRU chains until the POOL gained ``n_pages`` free pages
+        (shared pages only return with their last reference, so chains
+        are dropped until the allocator actually shows the gain). Returns
+        the pages actually freed. Called by the scheduler when admission
+        or in-flight growth cannot get pages — cached-but-idle prefixes
+        must never starve live work (vLLM-APC frees cached blocks under
+        allocation pressure the same way)."""
+        start = self.engine.free_pages
+        while self._chains and self.engine.free_pages - start < n_pages:
+            _, pages = self._chains.popitem(last=False)
+            self.engine._allocator.free(pages)
+        return self.engine.free_pages - start
 
     def clear(self) -> None:
         for pages in self._chains.values():

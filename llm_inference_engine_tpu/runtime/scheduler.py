@@ -72,7 +72,7 @@ class Request:
 class ContinuousBatchingScheduler:
     def __init__(self, engine, eos_token_id: Optional[int] = 2,
                  prefix_store=None, auto_prefix_cache: bool = False,
-                 auto_prefix_pages: int = 1024):
+                 auto_prefix_pages: Optional[int] = None):
         self.engine = engine
         self.eos_token_id = eos_token_id
         self.prefix_store = prefix_store
@@ -80,6 +80,13 @@ class ContinuousBatchingScheduler:
         if auto_prefix_cache:
             from llm_inference_engine_tpu.runtime.prefix_cache import (
                 AutoPrefixCache)
+            if auto_prefix_pages is None:
+                # default to half the actual pool: the cache is evicted
+                # under allocation pressure anyway (evict_for), the cap
+                # only bounds steady-state HBM held by idle prefixes
+                alloc = getattr(engine, "_allocator", None)
+                auto_prefix_pages = (max(1, alloc.num_pages // 2)
+                                     if alloc is not None else 1024)
             self.auto_prefix = AutoPrefixCache(engine,
                                                max_pages=auto_prefix_pages)
         self.B = engine.engine_config.max_batch_size
@@ -184,8 +191,22 @@ class ContinuousBatchingScheduler:
                     self._finish(head, "capacity")
                     self._dropped.append(head)   # step() must report it
                     continue
-                need = self.engine.pages_needed(
-                    len(self._full_context(head)) + 1)
+                ctx = self._full_context(head)
+                need = self.engine.pages_needed(len(ctx) + 1)
+                # pages served by a cached prefix are adopted (shared),
+                # not newly allocated — don't charge them at admission,
+                # or cache-hit requests get gated as if they cost full
+                # price while the cache pins exactly those pages
+                reuse = 0
+                if self.prefix_store is not None and hasattr(
+                        self.prefix_store, "match_len"):
+                    reuse = self.prefix_store.match_len(ctx)
+                if self.auto_prefix is not None:
+                    reuse = max(reuse, self.auto_prefix.match_len(ctx))
+                need -= reuse // self.engine.engine_config.page_size
+                if need > budget and self.auto_prefix is not None:
+                    # cached-but-idle pages must not starve admission
+                    budget += self.auto_prefix.evict_for(need - budget)
                 if need > budget:
                     break
                 budget -= need
@@ -273,6 +294,11 @@ class ContinuousBatchingScheduler:
                              - len(eng._slot_pages[r.slot]))
             if extra <= eng.free_pages:
                 return
+            if self.auto_prefix is not None:
+                # drop idle cached prefixes before preempting live work
+                self.auto_prefix.evict_for(extra - eng.free_pages)
+                if extra <= eng.free_pages:
+                    return
             victim = max(live, key=lambda r: r.id)
             if len(live) == 1:
                 self._finish(victim, "capacity")
@@ -290,12 +316,23 @@ class ContinuousBatchingScheduler:
             if getattr(self.engine, "paged", False):
                 if self.auto_prefix is not None:
                     # donate the page-aligned context to the automatic
-                    # prefix cache before the slot releases its pages
-                    # (the final accepted token was never written, hence
-                    # the -1 on the valid span)
+                    # prefix cache before the slot releases its pages.
+                    # Only tokens actually WRITTEN to the cache may be
+                    # donated: a request finishing mid-prefill (cancel /
+                    # capacity) has written exactly prefill_pos rows; an
+                    # EOS finish has written the full context (the stop
+                    # token itself is neither appended nor written); any
+                    # other finish accepted one final token that was
+                    # never fed back, hence the -1.
                     ctx = req.prompt_ids + req.output_ids
+                    if req.prefill_pos is not None:
+                        valid = min(req.prefill_pos, len(ctx))
+                    elif req.finish_reason == "eos":
+                        valid = len(ctx)
+                    else:
+                        valid = len(ctx) - 1
                     self.auto_prefix.insert(
-                        ctx, self.engine._slot_pages[slot], len(ctx) - 1)
+                        ctx, self.engine._slot_pages[slot], valid)
                 self.engine.reset([slot])   # release pages immediately
 
     # ------------------------------------------------------------------

@@ -318,3 +318,90 @@ def test_auto_prefix_lru_budget():
         sched.run(max_steps=500)
     assert sched.auto_prefix.cached_pages <= 3
     assert sched.engine.free_pages == total - sched.auto_prefix.cached_pages
+
+
+def test_auto_prefix_mid_prefill_finish_not_poisoned():
+    """A request finishing mid-prefill (cancel) has written only
+    prefill_pos cache rows; donating more would cache a partially
+    written page under a full-page key and poison later matches
+    (ADVICE r1 high: warm output diverged from a cold engine)."""
+    sp = SamplingParams(greedy=True, max_new_tokens=4)
+    eng = EngineConfig(max_batch_size=2, max_seq_len=96, kernels="xla",
+                       max_prefill_len=8, kv_layout="paged", page_size=16)
+    sched = ContinuousBatchingScheduler(
+        InferenceEngine(CFG, eng, init_dummy_params(CFG, seed=0)),
+        eos_token_id=None, auto_prefix_cache=True)
+    prompt = list(range(3, 3 + 24))
+    r = sched.submit(prompt, sp)
+    sched.step()                      # admit + first 8-token chunk only
+    assert r.prefill_pos == 8
+    assert sched.cancel(r)            # donation must clamp to 8 -> 0 pages
+    assert sched.auto_prefix.match_len(prompt + [99]) == 0
+    r2 = sched.submit(prompt, sp)
+    sched.run(max_steps=500)
+
+    cold = ContinuousBatchingScheduler(_paged_engine(), eos_token_id=None)
+    c = cold.submit(prompt, sp)
+    cold.run(max_steps=500)
+    assert r2.output_ids == c.output_ids
+
+
+def test_auto_prefix_eos_finish_donates_full_context():
+    """An EOS finish wrote every context token (the stop token is neither
+    appended nor written), so the full page-aligned context is reusable
+    (ADVICE r1 low: a uniform -1 dropped up to a page per turn)."""
+    probe = _auto_sched()
+    p1 = probe.submit(list(range(3, 3 + 30)),
+                      SamplingParams(greedy=True, max_new_tokens=6))
+    probe.run(max_steps=500)
+    assert len(p1.output_ids) == 6
+
+    prompt = list(range(3, 3 + 30))
+    stop = p1.output_ids[2]           # third generated token becomes EOS
+    sched = _auto_sched()
+    r = sched.submit(prompt, SamplingParams(greedy=True, max_new_tokens=6,
+                                            stop_token_ids=[stop]))
+    sched.run(max_steps=500)
+    assert r.finish_reason == "eos" and len(r.output_ids) == 2
+    ctx = prompt + r.output_ids       # 32 tokens, ALL written
+    assert sched.auto_prefix.match_len(list(ctx) + [99]) == 32
+
+
+def test_auto_prefix_eviction_under_admission_pressure():
+    """Idle cached chains must never starve new work: when admission
+    cannot get pages, LRU chains are evicted back to the pool
+    (ADVICE r1 high: pinned pages hung every subsequent request)."""
+    sp = SamplingParams(greedy=True, max_new_tokens=3)
+    sched = ContinuousBatchingScheduler(
+        _paged_engine(), eos_token_id=None, auto_prefix_cache=True,
+        auto_prefix_pages=1024)       # cap alone won't save the pool
+    for base in (10, 60, 110, 160, 210):
+        sched.submit(list(range(base, base + 40)), sp)
+        sched.run(max_steps=500)
+    assert sched.auto_prefix.cached_pages >= 8    # pool nearly pinned
+    r = sched.submit(list(range(300, 300 + 80)), sp)
+    sched.run(max_steps=500)
+    assert r.finished and len(r.output_ids) == 3
+
+
+def test_auto_prefix_admission_credits_cached_pages():
+    """Admission must not charge pages the cache will serve: a cache-hit
+    request admits under pressure AND keeps its reuse (ADVICE r1 low:
+    gating charged full price, then pressure evicted exactly the pages
+    the request would have reused)."""
+    sp_short = SamplingParams(greedy=True, max_new_tokens=3)
+    sched = _auto_sched()
+    long_prompt = list(range(3, 3 + 80))          # 5 pages cached after
+    sched.submit(long_prompt, sp_short)
+    sched.run(max_steps=500)
+    assert sched.auto_prefix.match_len(long_prompt + [99]) == 80
+    # occupy pages with a live request so free < full-price need
+    live = sched.submit(list(range(400, 400 + 60)),
+                        SamplingParams(greedy=True, max_new_tokens=30))
+    sched.step()
+    assert live.slot >= 0
+    r = sched.submit(long_prompt + [90, 91], sp_short)
+    sched.run(max_steps=500)
+    assert r.reused_prefix_len == 80              # hit survived admission
+    assert r.finished and len(r.output_ids) == 3
+    assert live.finished
