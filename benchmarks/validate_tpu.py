@@ -37,11 +37,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--only", default="",
                     help="comma list: paged,swa,rope,decode,write,engine,"
-                         "fused,spec")
+                         "fused,spec,quant")
     args = ap.parse_args(argv)
     want = set(filter(None, args.only.split(","))) or {
         "paged", "swa", "rope", "decode", "write", "engine", "fused",
-        "spec"}
+        "spec", "quant"}
 
     import jax
     import jax.numpy as jnp
@@ -310,6 +310,53 @@ def main(argv=None) -> int:
                 f"paged {outs['paged']} != slot {outs['slot']}")
         results.append(_ok("engine paged==slot greedy parity (compiled)",
                            check_engine_paged_parity))
+
+    if "quant" in want:
+        def check_quant_matmuls():
+            """Fused dequant-matmul vs XLA golden at the REAL 7B decode
+            shapes (every weight in the model, both quant modes, stacked
+            layer-prefetch path). Block plans differ per shape — each can
+            hit its own Mosaic tiling/OOB hazard, which interpret-mode CPU
+            tests cannot see (ops/quant.py module docstring)."""
+            from llm_inference_engine_tpu.ops.quant import (
+                dequantize_tensor, quantize_tensor, quantized_linear,
+                QuantizedTensor)
+            Ll = 2
+            shapes = [("qkv", 4096, 12288, None),
+                      ("gate_up", 4096, 11008, 2),
+                      ("down", 11008, 4096, None),
+                      ("lm_head", 4096, 32000, None)]
+            for mode in ("int8", "int4"):
+                for name, k, n, struct in shapes:
+                    x = jnp.asarray(rng.standard_normal((8, k)) * 0.1,
+                                    jnp.bfloat16)
+                    ts = [quantize_tensor(
+                        jnp.asarray(rng.standard_normal((k, n)) * 0.02,
+                                    jnp.float32), mode) for _ in range(Ll)]
+                    # golden on the HOST (bf16-rounded x @ f32 dequant) —
+                    # a TPU-compiled golden would double the compile bill
+                    xw = np.asarray(x, np.float32)
+                    goldens = [xw @ np.asarray(dequantize_tensor(t))
+                               for t in ts]
+                    q = jnp.stack([t.q for t in ts])
+                    s = jnp.stack([t.scale for t in ts])
+                    if struct:
+                        q = q.reshape(Ll, q.shape[1], 2, -1).transpose(
+                            0, 2, 1, 3)
+                        s = s.reshape(Ll, s.shape[1], 2, -1).transpose(
+                            0, 2, 1, 3)
+                    t = QuantizedTensor(q=q, scale=s, mode=mode,
+                                        group_size=128)
+                    for layer in (0, Ll - 1):
+                        got = quantized_linear(x, t, kernels="pallas",
+                                               layer=jnp.int32(layer),
+                                               out_dtype=jnp.float32)
+                        np.testing.assert_allclose(
+                            np.asarray(got), goldens[layer],
+                            rtol=2e-2, atol=2e-2,
+                            err_msg=f"{name} {mode} layer {layer}")
+        results.append(_ok("quantized matmuls (7B shapes, stacked)",
+                           check_quant_matmuls))
 
     n_fail = results.count(False)
     print(f"{len(results) - n_fail}/{len(results)} checks passed", flush=True)

@@ -426,18 +426,20 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
                 s_ix = lambda i, j, l, ly: (ly[0], 0, j)
                 s_blk = (1, 1, bn)
         else:
-            # int4 grouped scales, Gb = bk/group groups per K block; a
-            # singleton second-minor axis keeps the (.., 1, bn) block legal
+            # int4 grouped scales, Gb = bk/group groups per K block. The
+            # scale block is taken STRAIGHT off the stored [.., G, n] array
+            # — _plan_blocks guarantees (Gb, bn) is a legal trailing tile
+            # (Gb % 8 == 0 or Gb == G). An earlier singleton-axis reshape
+            # here made XLA re-lay-out the full stacked scale array EVERY
+            # LAYER of the decode scan (45 MB x 32 copies per step for the
+            # 7B down projection — ~24% of the whole step, profiled).
             gb = bk // group_size
             if structured:                       # [L, 2, G, I]
-                scale = scale.reshape(*scale.shape[:3], 1, scale.shape[3])
-                s_ix = lambda i, j, l, ly: (ly[0], j // nn, l, 0, j % nn)
-                s_blk = (1, 1, gb, 1, bn)
+                s_ix = lambda i, j, l, ly: (ly[0], j // nn, l, j % nn)
+                s_blk = (1, 1, gb, bn)
             else:                                # [L, G, n]
-                scale = scale.reshape(scale.shape[0], scale.shape[1], 1,
-                                      scale.shape[2])
-                s_ix = lambda i, j, l, ly: (ly[0], l, 0, j)
-                s_blk = (1, gb, 1, bn)
+                s_ix = lambda i, j, l, ly: (ly[0], l, j)
+                s_blk = (1, gb, bn)
         x_ix = lambda i, j, l, ly: (i, l)
         if structured:
             o_ix = lambda i, j, l, ly: (j // nn, i, j % nn)
@@ -452,12 +454,10 @@ def _quantized_matmul_pallas(x2, q, scale, mode, group_size, out_dtype,
             s_ix = lambda i, j, l: (0, j)
             s_blk = (1, bn)
         else:
-            # scale [groups, n] -> [groups, 1, n] so the block satisfies
-            # TPU tiling rules; Gb groups per K block
+            # scale [groups, n], (Gb, bn) trailing tile legal by plan
             gb = bk // group_size
-            scale = scale.reshape(scale.shape[0], 1, scale.shape[1])
-            s_ix = lambda i, j, l: (l, 0, j)
-            s_blk = (gb, 1, bn)
+            s_ix = lambda i, j, l: (l, j)
+            s_blk = (gb, bn)
         x_ix = lambda i, j, l: (i, l)
         o_ix = lambda i, j, l: (i, j)
         num_prefetch = 0
@@ -542,17 +542,26 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor):
     until the in-VMEM cast, whose temp bounds bk by scoped VMEM).
     INT4: bk must be a divisor of k_in aligned to the scale groups
     (_pick_bk) — per-group scale blocks cannot tolerate a ragged edge,
-    and the bitcast path has no VMEM temp, so huge divisor blocks
-    (K=11008 -> bk=5504) are both legal and fastest."""
+    and the bitcast path has no VMEM temp, so huge divisor blocks are
+    both legal and fastest. The scale block's trailing (Gb, bn) tile
+    additionally needs Gb = bk/group to be a sublane multiple (Gb % 8)
+    or the whole G axis (bk == k_in) — the kernel slices the stored
+    [.., G, n] scales directly, with no relayout (see the kernel)."""
     import math as _math
     bm = m if m <= 256 else 256
     bn = n if n <= 1024 else 1024
     if t.mode == "int4":
-        step = t.group_size * 128 // _math.gcd(t.group_size, 128)  # lcm
+        # bk % (8*group) keeps the scale tile legal; dims with no such
+        # divisor (Llama's 11008) fall back to one full-K block, whose
+        # packed weight block stays comfortably inside VMEM (<= 8 MB)
+        step = (8 * t.group_size) * 128 // _math.gcd(8 * t.group_size, 128)
         bk = _pick_bk(k_in, step)
+        if bk is None and k_in * bn // 2 <= 8 * 1024 * 1024:
+            bk = k_in
         feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
                     and bk is not None and _tile_ok(bk, k_in, lane=True)
-                    and (bk % t.group_size == 0 or bk == k_in))
+                    and (bk % t.group_size == 0 or bk == k_in)
+                    and ((bk // t.group_size) % 8 == 0 or bk == k_in))
     else:
         bk = min(k_in, 1024)
         feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
@@ -566,6 +575,21 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor):
         while (bm < 512 and m >= 2 * bm and m % (2 * bm) == 0
                and (2 * bm) * bk * 2 <= 4 * 1024 * 1024):
             bm *= 2
+        # DMA size per weight block decides the streaming rate (512 KB
+        # blocks measured ~510 GB/s vs ~700 for MB-sized DMAs). Escalate
+        # bn over DIVISORS of n (ragged N blocks also burn DMA on
+        # discarded columns) while the double-buffered working set —
+        # weight + scale blocks x2, x blocks x2, f32 accumulator — stays
+        # inside ~12 MB of the core's ~16 MB VMEM.
+        gb = bk // t.group_size if t.mode == "int4" else 1
+        wrow = bk // 2 if t.mode == "int4" else bk
+
+        def fits(cand):
+            return (2 * wrow * cand + 2 * gb * cand * 4
+                    + bm * cand * 4 + 2 * bm * bk * 2) <= 12 * 1024 * 1024
+        for cand in range(bn + 128, min(n, 8192) + 1, 128):
+            if n % cand == 0 and fits(cand):
+                bn = cand
     return (bm, bn, bk) if feasible else None
 
 

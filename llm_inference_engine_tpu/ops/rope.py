@@ -235,7 +235,15 @@ def split_qkv_rope(qkv, positions, num_heads: int, num_kv_heads: int,
 
     qkv: [..., T, K*(G+2)*D] group-major; positions: [..., T].
     """
-    if not use_pallas(kernels):
+    # Decode-sized token counts: the rotation is a few KB of elementwise
+    # math — two Pallas launches cost ~5 us/layer of pure invocation
+    # overhead (profiled at B*T=8), while XLA fuses the rotation into the
+    # surrounding split/reshape for free. The Pallas kernel pays off once
+    # the token block amortizes the launch.
+    tokens = 1
+    for d in qkv.shape[:-1]:
+        tokens *= d
+    if not use_pallas(kernels) or tokens <= 64:
         return split_qkv_rope_xla(qkv, positions, num_heads, num_kv_heads,
                                   head_dim, theta, scaling)
     q, k, v = _split_grouped(qkv, num_heads, num_kv_heads, head_dim)
