@@ -22,6 +22,8 @@ __all__ = [
     "EngineConfig",
     "SamplingParams",
     "RopeScaling",
+    "NTKScaling",
+    "resolve_rope_scaling",
     "PRESETS",
     "get_config",
 ]
@@ -37,6 +39,56 @@ class RopeScaling:
     low_freq_factor: float = 1.0
     high_freq_factor: float = 4.0
     original_max_position_embeddings: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class NTKScaling:
+    """NTK-aware RoPE scaling (HF rope_types "ntk"/"dynamic"; the
+    reference plumbed a ``use_dynamic_ntk`` flag config->kernel but left
+    the kernel side a placeholder, model_utils.h:41,
+    qkv_bias_and_rope.cu:24,132). Both flavors rescale the rope base:
+
+        theta' = theta * s^(dim / (dim - 2))
+
+    with s = ``factor`` for the static flavor, and for ``dynamic=True``
+    s = factor * L / original - (factor - 1) evaluated at context length
+    L. HF recomputes dynamic-NTK per step as the sequence grows — that
+    would retune every cached K entry each step (their cache grows stale
+    anyway) and is hostile to a compiled static-shape engine, so here the
+    engine FIXES L at its max_seq_len once at construction
+    (resolve_rope_scaling): one theta, keys cached consistently, no
+    retraces. Sequences shorter than ``original`` keep theta unchanged
+    only in HF's step-wise variant; the fixed-at-max form trades a little
+    short-context fidelity for cache consistency — the standard serving
+    compromise."""
+    factor: float = 2.0
+    original_max_position_embeddings: int = 4096
+    dynamic: bool = False
+
+    def effective_theta(self, theta: float, head_dim: int,
+                        seq_len: int) -> float:
+        if self.dynamic:
+            s = (self.factor * max(seq_len, 1)
+                 / self.original_max_position_embeddings
+                 - (self.factor - 1.0))
+            s = max(s, 1.0)
+        else:
+            s = self.factor
+        return theta * s ** (head_dim / (head_dim - 2.0))
+
+
+def resolve_rope_scaling(config: "ModelConfig",
+                         max_seq_len: int) -> "ModelConfig":
+    """Fold NTK scaling into a plain rope_theta for a given engine
+    context length (see NTKScaling). Other scaling kinds pass through —
+    they are position-independent per-frequency transforms the kernels
+    handle directly."""
+    rs = config.rope_scaling
+    if not isinstance(rs, NTKScaling):
+        return config
+    theta = rs.effective_theta(config.rope_theta, config.head_dim,
+                               max_seq_len)
+    return config.replace(rope_theta=theta, rope_scaling=None)
 
 
 def _dtype_from_str(name: str):
@@ -163,6 +215,13 @@ class ModelConfig:
                     high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
                     original_max_position_embeddings=int(
                         rs.get("original_max_position_embeddings", 8192)))
+            elif rtype in ("ntk", "dynamic"):
+                kw["rope_scaling"] = NTKScaling(
+                    factor=float(rs.get("factor", 2.0)),
+                    original_max_position_embeddings=int(
+                        rs.get("original_max_position_embeddings",
+                               kw.get("max_position_embeddings", 4096))),
+                    dynamic=rtype == "dynamic")
             elif rtype == "default":
                 kw["rope_scaling"] = None
             else:

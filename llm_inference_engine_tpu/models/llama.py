@@ -40,6 +40,7 @@ from llm_inference_engine_tpu.ops.embedding import embedding_lookup
 from llm_inference_engine_tpu.ops.linear import linear
 from llm_inference_engine_tpu.ops.rmsnorm import rmsnorm, add_residual_rmsnorm
 from llm_inference_engine_tpu.ops.rope import split_qkv_rope
+from llm_inference_engine_tpu.utils import debug as _debug
 
 __all__ = ["decoder_forward", "forward_hidden", "lm_head_logits"]
 
@@ -83,9 +84,21 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
                           layer=layer_idx)
         return linear(inp, layer[name], kernels=kernels)
 
+    # intermediate dumping at the reference's SAVE_DATA points
+    # (context_attention.cpp:193-304); a trace-time no-op unless enabled
+    # (LLM_TPU_SAVE_DATA). Host callbacks don't compose with shard_map
+    # collectives, so TP runs skip the taps.
+    if _debug.tap.enabled and model_axis is None:
+        def dump(name, value):
+            _debug.tap(name, value, layer=layer_idx)
+    else:
+        def dump(name, value):
+            pass
+
     # pre-attention rmsnorm (residual = x itself; the reference's rmsnorm
     # copies input to a residual buffer, rmsnorm.cu:55 — functionally free here)
     h_norm = rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps, kernels=kernels)
+    dump("attn_norm", h_norm)
 
     # fused QKV projection (packed, layer_weights.cpp:28); Qwen2-class
     # models add the packed qkv bias here (the reference's QKV+RoPE kernel
@@ -94,9 +107,12 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
     qkv = lin("wqkv", h_norm)
     if "bqkv" in layer:
         qkv = qkv + layer["bqkv"].astype(qkv.dtype)
+    dump("qkv_proj", qkv)
     q, k_new, v_new = split_qkv_rope(
         qkv, positions, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
         cfg.rope_theta, cfg.rope_scaling, kernels=kernels)
+    dump("q_rope", q)
+    dump("k_rope", k_new)
 
     # Tile-padded cache adapter (ops/kv_cache.aligned_kv_dims): when the
     # cache was allocated with K/D rounded up to the (8, 128) tile, zero-pad
@@ -165,18 +181,23 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
     if padded:
         attn_out = attn_out.reshape(B, T, Kc, G, Dc)[:, :, :K, :, :D]
     attn_out = attn_out.reshape(B, T, cfg.q_size)
+    dump("attn_ctx", attn_out)
     attn_out = reduce_partial(lin("wo", attn_out))
+    dump("attn_out", attn_out)
 
     # fused add-residual + rmsnorm into the FFN (add_residual_and_rmsnorm.cu)
     ffn_in, resid = add_residual_rmsnorm(
         attn_out, x, layer["ffn_norm"], cfg.rms_norm_eps, kernels=kernels)
+    dump("ffn_in", ffn_in)
 
     # FFN: packed gate|up matmul -> SwiGLU -> down (ffn.cpp:105-132)
     gate_up = lin("w_gate_up", ffn_in)
     act = silu_and_mul(gate_up, kernels=kernels)
+    dump("ffn_act", act)
     down = reduce_partial(lin("w_down", act))
 
     x_out = add_residual(down, resid, kernels=kernels)
+    dump("layer_out", x_out)
     return x_out, cache
 
 
@@ -247,6 +268,8 @@ def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
 
     x = embedding_lookup(params["embed"], token_ids, kernels=eng.kernels)
     x = x.astype(cfg.dtype)
+    if _debug.tap.enabled and model_axis is None:
+        _debug.tap("embedding", x)
 
     x, cache = run_layers(cfg, eng, params["layers"], x, cache, positions,
                           q_start, kv_len, model_axis=model_axis,
@@ -254,6 +277,8 @@ def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
     new_cache = dataclasses.replace(cache, lengths=kv_len)
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps, kernels=eng.kernels)
+    if _debug.tap.enabled and model_axis is None:
+        _debug.tap("final_norm", x)
     return x, new_cache
 
 

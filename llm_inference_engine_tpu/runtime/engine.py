@@ -66,6 +66,10 @@ class InferenceEngine:
 
     def __init__(self, config: ModelConfig, engine_config: EngineConfig,
                  params, rng_seed: int = 0, mesh=None):
+        from llm_inference_engine_tpu.config import resolve_rope_scaling
+        # NTK rope scaling folds into rope_theta at the engine's context
+        # length (config.NTKScaling: one theta, cached keys consistent)
+        config = resolve_rope_scaling(config, engine_config.max_seq_len)
         self.config = config
         self.engine_config = engine_config
         self._key = jax.random.PRNGKey(rng_seed)

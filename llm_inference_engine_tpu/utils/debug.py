@@ -22,7 +22,8 @@ from typing import Optional
 import jax
 import numpy as np
 
-__all__ = ["TensorDumper", "compare_dumps", "peek"]
+__all__ = ["TensorDumper", "DebugTap", "tap", "set_dump_dir",
+           "compare_dumps", "peek"]
 
 
 class TensorDumper:
@@ -58,6 +59,83 @@ class TensorDumper:
         path = self._path(name)
         jax.debug.callback(lambda x: np.save(path, np.asarray(x)), value,
                            ordered=True)
+
+
+def _callbacks_supported() -> bool:
+    """Probe host-callback support with one tiny unordered callback (the
+    axon tunnel backend raises UNIMPLEMENTED for it — and would HANG on
+    an ordered one, so probing with the error-raising variant first is
+    load-bearing)."""
+    try:
+        def _f(x):
+            jax.debug.callback(lambda v: None, x, ordered=False)
+            return x
+
+        jax.jit(_f)(np.zeros((1,), np.float32)).block_until_ready()
+        return True
+    except Exception:  # noqa: BLE001 — any failure means "don't dump"
+        return False
+
+
+class DebugTap:
+    """The forward pass's dump hook (models/llama.py calls it at every
+    kernel boundary — the same points the reference dumps under SAVE_DATA,
+    context_attention.cpp:193-304). Disabled (the default) it returns at
+    TRACE time, adding zero ops to the compiled program. Enabled — via the
+    LLM_TPU_SAVE_DATA env var or :func:`set_dump_dir` — it inserts ordered
+    host callbacks that write one .npy per intermediate, with per-layer
+    values gated to the first ``max_layers`` layers on the HOST side (the
+    layer index is a traced scan value; the reference likewise dumped only
+    layers 0-2, debug_utils.h:49)."""
+
+    def __init__(self, directory: Optional[str] = None,
+                 max_layers: int = 3):
+        self.dumper = TensorDumper(directory)
+        self.max_layers = int(os.environ.get("LLM_TPU_SAVE_LAYERS",
+                                             max_layers))
+        if self.dumper.enabled and not _callbacks_supported():
+            import warnings
+            warnings.warn(
+                "intermediate dumping disabled: this JAX backend does not "
+                "support host callbacks (e.g. the axon TPU tunnel; ordered "
+                "callbacks would hang the program). Run the debug forward "
+                "on CPU (JAX_PLATFORMS=cpu) or a full TPU runtime.",
+                stacklevel=3)
+            self.dumper = TensorDumper(None)
+
+    @property
+    def enabled(self) -> bool:
+        return self.dumper.enabled
+
+    def __call__(self, name: str, value, layer=None) -> None:
+        if not self.enabled:
+            return
+        if layer is None:
+            self.dumper.dump_in_jit(name, value)
+            return
+        d = self.dumper
+        cap = self.max_layers
+
+        def cb(l, x):
+            li = int(l)
+            if li < cap:
+                np.save(d._path(f"L{li}_{name}"), np.asarray(x))
+
+        jax.debug.callback(cb, layer, value, ordered=True)
+
+
+#: process-wide tap consulted by the model forward; reconfigure with
+#: set_dump_dir (tests) or the LLM_TPU_SAVE_DATA env var (CLI).
+tap = DebugTap()
+
+
+def set_dump_dir(directory: Optional[str], max_layers: int = 3) -> DebugTap:
+    """(Re)point the global tap at ``directory`` (None disables). Returns
+    the new tap. Callers must re-trace (new engine / cleared jit cache)
+    for the change to take effect inside already-compiled programs."""
+    global tap
+    tap = DebugTap(directory, max_layers)
+    return tap
 
 
 def compare_dumps(dir_a: str, dir_b: str, atol: float = 1e-3,
