@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["greedy_sample", "sample_top_k", "top_k_logits", "sample_tokens",
-           "apply_penalties", "MAX_TOP_K"]
+           "apply_penalties", "processed_probs", "speculative_accept",
+           "MAX_TOP_K"]
 
 MAX_TOP_K = 64  # static top-k width; per-slot k masks within it
 
@@ -98,6 +99,46 @@ def sample_top_k(logits: jax.Array, key: jax.Array, *, temperature: float = 1.0,
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
 
+def _candidate_probs(logits: jax.Array, temperature: jax.Array,
+                     top_k: jax.Array, top_p: jax.Array,
+                     min_p: jax.Array | None):
+    """The full processing chain, shared by sampling and by the speculative
+    acceptance rule (which must score the EXACT distribution sampling draws
+    from). logits [..., V]; params [...] (same leading shape).
+
+    Returns (probs [..., K], idx [..., K], greedy [..., 1]); greedy rows
+    (temperature<=0) get a one-hot distribution on the top candidate, so
+    downstream draws/acceptance reduce to argmax semantics.
+    """
+    K = min(MAX_TOP_K, logits.shape[-1])
+    vals, idx = jax.lax.top_k(logits.astype(jnp.float32), K)     # [..., K]
+    t = temperature[..., None]
+    greedy = t <= 0.0
+    vals_t = vals / jnp.where(greedy, 1.0, t)
+
+    rank = jnp.arange(K)
+    keep = rank < jnp.maximum(top_k[..., None], 1)
+    vals_t = jnp.where(keep, vals_t, -jnp.inf)
+    probs = jax.nn.softmax(vals_t, axis=-1)
+
+    if min_p is not None:
+        # min-p floor: drop candidates below min_p * p_max (the top
+        # candidate always survives)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        probs = jnp.where(probs >= min_p[..., None] * pmax, probs, 0.0)
+
+    # nucleus filter within the K candidates (sorted descending)
+    probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True), 1e-30)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_p = (cum - probs) < top_p[..., None]
+    probs = jnp.where(keep_p, probs, 0.0)
+    probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True), 1e-30)
+
+    # greedy rows: one-hot on the top candidate (argmax)
+    probs = jnp.where(greedy, (rank == 0).astype(probs.dtype), probs)
+    return probs, idx, greedy
+
+
 def sample_tokens(logits: jax.Array, key: jax.Array, temperature: jax.Array,
                   top_k: jax.Array, top_p: jax.Array,
                   min_p: jax.Array | None = None) -> jax.Array:
@@ -110,32 +151,87 @@ def sample_tokens(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     Always draws from the top-MAX_TOP_K candidates, masked down to each
     slot's k, min-p floor and nucleus p.
     """
-    K = min(MAX_TOP_K, logits.shape[-1])
-    vals, idx = jax.lax.top_k(logits.astype(jnp.float32), K)       # [B,K]
-    t = temperature[:, None]
-    greedy = t <= 0.0
-    vals_t = vals / jnp.where(greedy, 1.0, t)
-
-    rank = jnp.arange(K)[None, :]
-    keep = rank < jnp.maximum(top_k[:, None], 1)
-    vals_t = jnp.where(keep, vals_t, -jnp.inf)
-    probs = jax.nn.softmax(vals_t, axis=-1)
-
-    if min_p is not None:
-        # min-p floor: drop candidates below min_p * p_max (the top
-        # candidate always survives)
-        pmax = jnp.max(probs, axis=-1, keepdims=True)
-        probs = jnp.where(probs >= min_p[:, None] * pmax, probs, 0.0)
-
-    # nucleus filter within the K candidates (sorted descending)
-    probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True), 1e-30)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep_p = (cum - probs) < top_p[:, None]
-    probs = jnp.where(keep_p, probs, 0.0)
-    probs = probs / jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True), 1e-30)
-
+    probs, idx, greedy = _candidate_probs(logits, temperature, top_k, top_p,
+                                          min_p)
     choice = jax.random.categorical(
         key, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1)          # [B]
-    choice = jnp.where(greedy[:, 0], 0, choice)                    # argmax row
-    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(
+    choice = jnp.where(greedy[..., 0], 0, choice)                  # argmax row
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(
         jnp.int32)
+
+
+def processed_probs(logits: jax.Array, temperature: jax.Array,
+                    top_k: jax.Array, top_p: jax.Array,
+                    min_p: jax.Array | None = None) -> jax.Array:
+    """The full-vocab probability vector ``sample_tokens`` draws from —
+    temperature, top-MAX_TOP_K truncation, per-slot top-k, min-p and
+    nucleus filters all applied; greedy rows are one-hot at the argmax.
+
+    logits [..., V], params [...] -> probs [..., V]. This is the p (and q)
+    of the stochastic speculative acceptance rule: scoring the *processed*
+    distributions keeps the emitted stream lossless in distribution w.r.t.
+    what plain per-token sampling would have produced.
+    """
+    probs, idx, _ = _candidate_probs(logits, temperature, top_k, top_p,
+                                     min_p)
+    out = jnp.zeros(logits.shape, probs.dtype)
+    return jnp.put_along_axis(out, idx, probs, axis=-1,
+                              inplace=False, mode="drop")
+
+
+def speculative_accept(draft_tokens: jax.Array, q_probs: jax.Array,
+                       p_probs: jax.Array, key: jax.Array):
+    """Stochastic speculative acceptance (the standard rejection-sampling
+    rule; lossless in distribution).
+
+    draft_tokens: [B, k] tokens drawn from q
+    q_probs:      [B, k, V] the draft's processed distributions
+    p_probs:      [B, k+1, V] the target's processed distributions
+    key:          PRNG key
+
+    Position j accepts with prob min(1, p_j(x_j)/q_j(x_j)); the emitted
+    sequence is the accepted prefix, then one token from the residual
+    distribution norm(max(p_r - q_r, 0)) at the first rejection r, or from
+    p_k when all k drafts were accepted (extending q with zeros at
+    position k makes the bonus draw the same residual formula). Greedy
+    rows (one-hot p and q from processed_probs) reduce exactly to the
+    longest-matching-prefix + argmax-bonus rule.
+
+    Returns (emitted [B, k+1] int32 with positions > n_acc zeroed,
+    n_acc [B] int32).
+    """
+    B, k = draft_tokens.shape
+    ku, kr = jax.random.split(key)
+
+    qx = jnp.take_along_axis(q_probs, draft_tokens[..., None],
+                             axis=-1)[..., 0]                     # [B, k]
+    px = jnp.take_along_axis(p_probs[:, :k], draft_tokens[..., None],
+                             axis=-1)[..., 0]                     # [B, k]
+    u = jax.random.uniform(ku, (B, k))
+    # u*q <= p  <=>  u <= p/q (q(x) > 0 a.s. since x ~ q); the product form
+    # avoids the 0/0 at padding rows
+    acc = (u * qx <= px).astype(jnp.int32)
+    n_acc = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)             # [B]
+
+    # residual draw at position n_acc: q extended with zeros at k makes
+    # the full-acceptance bonus draw (from p_k) the same expression
+    q_ext = jnp.concatenate(
+        [q_probs, jnp.zeros_like(p_probs[:, :1])], axis=1)        # [B,k+1,V]
+    p_r = jnp.take_along_axis(p_probs, n_acc[:, None, None],
+                              axis=1)[:, 0]                       # [B, V]
+    q_r = jnp.take_along_axis(q_ext, n_acc[:, None, None],
+                              axis=1)[:, 0]                       # [B, V]
+    res = jnp.maximum(p_r - q_r, 0.0)
+    tot = jnp.sum(res, axis=-1, keepdims=True)
+    # p == q => empty residual (TV distance 0): any draw from p is correct
+    res = jnp.where(tot > 0, res / jnp.maximum(tot, 1e-30), p_r)
+    extra = jax.random.categorical(
+        kr, jnp.log(jnp.maximum(res, 1e-30)), axis=-1).astype(jnp.int32)
+
+    j = jnp.arange(k + 1)[None, :]
+    dext = jnp.concatenate(
+        [draft_tokens, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    emitted = jnp.where(
+        j < n_acc[:, None], dext,
+        jnp.where(j == n_acc[:, None], extra[:, None], 0))
+    return emitted, n_acc

@@ -19,6 +19,18 @@ the target's logits are deterministic for a given context independent of
 the forward's token-batch shape; true in f32, while bf16 MXU noise between
 the T=1 decode and T=k+1 verify paths can flip near-ties — the universal
 caveat of speculative decoding on low-precision hardware.)
+
+Stochastic acceptance (the sampled round) implements the standard
+rejection-sampling rule over the PROCESSED per-slot distributions
+(temperature/top-k/top-p/min-p applied identically on both sides,
+ops/sampling.processed_probs): drafted token x_j ~ q_j accepts with
+probability min(1, p_j(x_j)/q_j(x_j)); the first rejection draws from
+norm(max(p_j - q_j, 0)); full acceptance draws the bonus from p_k. The
+emitted stream is distributed EXACTLY as plain per-token sampling from the
+target (lossless in distribution) — ops/sampling.speculative_accept, with
+the statistical test in tests/test_speculative_sampled.py. Greedy slots
+degenerate to one-hot p/q, so one sampled round serves a mixed
+greedy/sampled batch.
 """
 
 from __future__ import annotations
@@ -54,12 +66,13 @@ class SpeculativeDecoder:
     tokenizer/vocab. ``num_draft`` tokens are proposed per round."""
 
     def __init__(self, target: InferenceEngine, draft: InferenceEngine,
-                 num_draft: int = 4):
+                 num_draft: int = 4, rng_seed: int = 0):
         if target.config.vocab_size != draft.config.vocab_size:
             raise ValueError("target/draft vocab mismatch")
         self.target = target
         self.draft = draft
         self.k = num_draft
+        self._key = jax.random.PRNGKey(rng_seed)
 
         tcfg, teng = target.config, target.engine_config
         dcfg, deng = draft.config, draft.engine_config
@@ -147,14 +160,108 @@ class SpeculativeDecoder:
 
         self._round = _round
 
+        @functools.partial(jax.jit, donate_argnums=(1, 3),
+                           static_argnames=("kv_hi_t", "kv_hi_d"))
+        def _round_sampled(t_params, t_cache, d_params, d_cache, last, done,
+                           key, temp, topk, topp, minp,
+                           kv_hi_t=None, kv_hi_d=None):
+            """One stochastic speculative round ON DEVICE: draft k sampled
+            tokens (collecting their processed distributions q), verify
+            with one target forward (processed distributions p), apply the
+            rejection-sampling acceptance rule, and rewind both caches.
+            Per-slot sampling params [B] — greedy slots (temp<=0) get
+            one-hot p/q and reduce exactly to the greedy rule."""
+            from llm_inference_engine_tpu.ops.sampling import (
+                processed_probs, sample_tokens, speculative_accept)
+            B = last.shape[0]
+            t_len = t_cache.lengths
+            d_len = d_cache.lengths
+            key_d, key_acc = jax.random.split(key)
+
+            # --- draft k sampled steps, stacking processed q ---
+            def dbody(carry, kstep):
+                cache, tok = carry
+                qs = cache.lengths
+                logits, cache = llama_model.forward_hidden(
+                    dcfg, deng, d_params, tok[:, None], cache, qs, qs + 1,
+                    kv_hi=kv_hi_d)
+                qp = processed_probs(logits, temp, topk, topp, minp)
+                nxt = sample_tokens(logits, kstep, temp, topk, topp, minp)
+                return (cache, nxt), (nxt, qp)
+
+            (d_cache, _), (dts, qps) = jax.lax.scan(
+                dbody, (d_cache, last), jax.random.split(key_d, k))
+            draft_toks = dts.T                               # [B, k]
+            q_probs = qps.transpose(1, 0, 2)                 # [B, k, V]
+
+            # --- one target forward verifies last + k drafts ---
+            block = jnp.concatenate([last[:, None], draft_toks], axis=1)
+            logits, t_cache = llama_model.forward_all_logits(
+                tcfg, teng, t_params, block, t_cache, t_len,
+                t_len + (k + 1), kv_hi=kv_hi_t)              # [B, k+1, V]
+            bcast = lambda a: jnp.broadcast_to(a[:, None], (B, k + 1))
+            p_probs = processed_probs(logits, bcast(temp), bcast(topk),
+                                      bcast(topp), bcast(minp))
+
+            emitted, n_acc = speculative_accept(draft_toks, q_probs,
+                                                p_probs, key_acc)
+
+            # log P(emitted) under the target's RAW distribution at each
+            # position (what the logprobs API reports — same convention as
+            # the engine's decode path)
+            lf = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(lf, axis=-1)
+            picked = jnp.take_along_axis(lf, emitted[..., None],
+                                         axis=-1)[..., 0]
+            emitted_lp = picked - lse                        # [B, k+1]
+
+            # --- rewind both caches to the accepted frontier ---
+            t_cache = dataclasses.replace(
+                t_cache, lengths=jnp.where(done, t_len, t_len + n_acc + 1))
+            d_cache = dataclasses.replace(
+                d_cache, lengths=jnp.where(done, d_len,
+                                           t_len + jnp.minimum(n_acc + 1,
+                                                               k)))
+            full = jnp.logical_and(n_acc == k, jnp.logical_not(done))
+
+            def ingest(cache):
+                qs = cache.lengths
+                _, cache = llama_model.forward_hidden(
+                    dcfg, deng, d_params, draft_toks[:, -1:], cache, qs,
+                    qs + full.astype(jnp.int32), kv_hi=kv_hi_d)
+                return cache
+
+            d_cache = jax.lax.cond(jnp.any(full), ingest, lambda c: c,
+                                   d_cache)
+            return emitted, emitted_lp, n_acc, t_cache, d_cache
+
+        self._round_sampled = _round_sampled
+
     def generate(self, prompts: Sequence[Sequence[int]],
                  max_new_tokens: int = 64,
-                 eos_token_id: Optional[int] = 2) -> SpecResult:
-        """Greedy speculative generation (batch = number of prompts; all
-        slots draft/verify in lockstep)."""
+                 eos_token_id: Optional[int] = 2,
+                 sampling: Optional[SamplingParams] = None) -> SpecResult:
+        """Speculative generation (batch = number of prompts; all slots
+        draft/verify in lockstep). ``sampling=None`` (or greedy) runs the
+        exact greedy round; otherwise the stochastic rejection-sampling
+        round — lossless in distribution (penalties are not supported:
+        their counts evolve inside the drafted block)."""
         B = self.target.engine_config.max_batch_size
         nseq = len(prompts)
         assert nseq <= B and nseq <= self.draft.engine_config.max_batch_size
+        do_sample = sampling is not None and not sampling.greedy \
+            and sampling.temperature > 0.0
+        if sampling is not None and (sampling.repetition_penalty != 1.0
+                                     or sampling.presence_penalty != 0.0
+                                     or sampling.frequency_penalty != 0.0):
+            raise ValueError("speculative decoding does not support logit "
+                             "penalties (counts evolve inside the drafted "
+                             "block)")
+        if do_sample:
+            samp = (jnp.full((B,), sampling.temperature, jnp.float32),
+                    jnp.full((B,), sampling.top_k, jnp.int32),
+                    jnp.full((B,), sampling.top_p, jnp.float32),
+                    jnp.full((B,), sampling.min_p, jnp.float32))
 
         self.target.reset()
         self.draft.reset()
@@ -162,7 +269,12 @@ class SpeculativeDecoder:
         self.draft.prefill(prompts)
 
         # first token comes from the target's prefill logits
-        last = np.asarray(jnp.argmax(t_logits, axis=-1).astype(jnp.int32))
+        if do_sample:
+            self._key, sub = jax.random.split(self._key)
+            from llm_inference_engine_tpu.ops.sampling import sample_tokens
+            last = np.asarray(sample_tokens(t_logits, sub, *samp))
+        else:
+            last = np.asarray(jnp.argmax(t_logits, axis=-1).astype(jnp.int32))
         out = [[int(last[i])] for i in range(nseq)]
         done = np.zeros((B,), bool)
         done[nseq:] = True
@@ -186,12 +298,21 @@ class SpeculativeDecoder:
             # accept counts come back to the host ---
             kv_hi_t = self.target._kv_watermark(t_len, self.k + 1)
             kv_hi_d = self.draft._kv_watermark(t_len, self.k + 1)
-            emitted, _, n_acc, self.target.cache, self.draft.cache = \
-                self._round(
-                    self.target.params, self.target.cache,
-                    self.draft.params, self.draft.cache,
-                    jnp.asarray(last), jnp.asarray(done),
-                    kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
+            if do_sample:
+                self._key, sub = jax.random.split(self._key)
+                emitted, _, n_acc, self.target.cache, self.draft.cache = \
+                    self._round_sampled(
+                        self.target.params, self.target.cache,
+                        self.draft.params, self.draft.cache,
+                        jnp.asarray(last), jnp.asarray(done), sub, *samp,
+                        kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
+            else:
+                emitted, _, n_acc, self.target.cache, self.draft.cache = \
+                    self._round(
+                        self.target.params, self.target.cache,
+                        self.draft.params, self.draft.cache,
+                        jnp.asarray(last), jnp.asarray(done),
+                        kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
             emitted = np.asarray(emitted)           # [B, k+1]
             n_acc = np.asarray(n_acc)
 

@@ -16,13 +16,16 @@ length at EVERY round boundary. It holds because
   first and the target's verify block ingests alongside the drafts
   (speculative.py _round).
 
-Greedy only, and penalty-free (the round verifies with the target's raw
-argmax — accepting penalized requests would silently break the lossless
-guarantee): submissions are rejected otherwise. Near the sequence cap a
-slot needs k+2 rows of headroom per round, so requests finish with
-reason 'capacity' slightly earlier than the plain scheduler would.
-Prefix caching is not supported (a restore would have to hit both
-caches)."""
+Sampled and greedy requests both run (one stochastic round serves a mixed
+batch: each slot's processed p/q distributions carry its own
+temperature/top-k/top-p/min-p, and greedy slots degenerate to one-hot —
+ops/sampling.speculative_accept is lossless in distribution either way).
+Logit penalties are rejected: their counts evolve token-by-token inside
+the drafted block, so a penalized per-position p is not well-defined for
+a block verify. Near the sequence cap a slot needs k+2 rows of headroom
+per round, so requests finish with reason 'capacity' slightly earlier
+than the plain scheduler would. Prefix caching works through PAIRED
+snapshots restored into both caches (prefix_cache.DualPrefixStore)."""
 
 from __future__ import annotations
 
@@ -63,22 +66,30 @@ class SpeculativeScheduler(ContinuousBatchingScheduler):
     def submit(self, prompt_ids: Sequence[int],
                sampling: SamplingParams = SamplingParams(),
                stream_callback=None) -> Request:
-        greedy = sampling.greedy or sampling.temperature <= 0.0
         penalized = (sampling.repetition_penalty != 1.0
                      or sampling.presence_penalty != 0.0
-                     or sampling.frequency_penalty != 0.0
-                     or sampling.min_p != 0.0)
-        if not greedy or penalized:
+                     or sampling.frequency_penalty != 0.0)
+        if penalized:
             raise ValueError(
-                "SpeculativeScheduler is greedy-only without logit "
-                "penalties (the lossless acceptance rule verifies against "
-                "the target's raw argmax)")
+                "SpeculativeScheduler does not support logit penalties "
+                "(their counts evolve inside the drafted block, so a "
+                "penalized per-position target distribution is not "
+                "well-defined for a block verify)")
         return super().submit(prompt_ids, sampling, stream_callback)
 
     def register_prefix(self, tokens):
-        raise NotImplementedError(
-            "prefix caching under speculative scheduling would need the "
-            "snapshot restored into BOTH caches; not wired yet")
+        """Prefix caching under speculative scheduling: snapshots are
+        PAIRED (target + draft) and restores land in both caches, so the
+        round's cache-length lockstep invariant holds
+        (runtime/prefix_cache.DualPrefixStore)."""
+        if self.prefix_store is None:
+            from llm_inference_engine_tpu.runtime.prefix_cache import (
+                DualPrefixStore)
+            self.prefix_store = DualPrefixStore(self.engine, self.draft)
+        free = [i for i, r in enumerate(self.slots) if r is None]
+        if not free:
+            raise RuntimeError("no free slot to register a prefix on")
+        return self.prefix_store.register(tokens, slot=free[0])
 
     # -- base-scheduler hooks: keep the draft cache in lockstep ----------
 
@@ -111,11 +122,23 @@ class SpeculativeScheduler(ContinuousBatchingScheduler):
         kv_hi_t = target._kv_watermark(t_len, k + 2)
         kv_hi_d = draft._kv_watermark(
             np.asarray(jax.device_get(draft.cache.lengths)), k + 2)
-        emitted, emitted_lp, n_acc, target.cache, draft.cache = \
-            self._spec._round(
-                target.params, target.cache, draft.params, draft.cache,
-                jnp.asarray(self._last_token), jnp.asarray(~active),
-                kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
+        if (self._temp[active] <= 0.0).all():
+            # all-greedy batch: the cheaper exact-argmax round (no [B,k,V]
+            # distribution materialization)
+            emitted, emitted_lp, n_acc, target.cache, draft.cache = \
+                self._spec._round(
+                    target.params, target.cache, draft.params, draft.cache,
+                    jnp.asarray(self._last_token), jnp.asarray(~active),
+                    kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
+        else:
+            self._spec._key, sub = jax.random.split(self._spec._key)
+            emitted, emitted_lp, n_acc, target.cache, draft.cache = \
+                self._spec._round_sampled(
+                    target.params, target.cache, draft.params, draft.cache,
+                    jnp.asarray(self._last_token), jnp.asarray(~active),
+                    sub, jnp.asarray(self._temp), jnp.asarray(self._topk),
+                    jnp.asarray(self._topp), jnp.asarray(self._minp),
+                    kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
         emitted = np.asarray(emitted)
         emitted_lp = np.asarray(emitted_lp)
         n_acc = np.asarray(n_acc)

@@ -606,7 +606,8 @@ def main(argv=None) -> int:
     ap.add_argument("--dummy-weights", action="store_true")
     ap.add_argument("--draft-model", default="",
                     help="enable speculative serving with this draft "
-                         "model preset (greedy requests only)")
+                         "model preset (greedy and sampled requests; "
+                         "logit penalties are rejected)")
     ap.add_argument("--draft-checkpoint", default="")
     ap.add_argument("--num-draft", type=int, default=4)
     ap.add_argument("--quant", default="none",

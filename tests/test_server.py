@@ -328,10 +328,10 @@ def test_n_backpressure_atomic():
         llm.shutdown()
 
 
-def test_speculative_server_rejects_sampling_cleanly():
-    """A non-greedy request against a speculative server returns 400 and
-    the engine thread survives (review finding: the submit ValueError
-    killed it)."""
+def test_speculative_server_sampled_ok_penalties_rejected():
+    """Sampled requests now run through the stochastic speculative round
+    (VERDICT r2 ask #4); penalized ones return a clean 400 and the engine
+    thread survives (review finding: the submit ValueError killed it)."""
     from llm_inference_engine_tpu.runtime.speculative_scheduler import (
         SpeculativeScheduler)
 
@@ -348,14 +348,20 @@ def test_speculative_server_rejects_sampling_cleanly():
     llm.start()
     try:
         addr = httpd.server_address
+        # sampled request: served via the stochastic round
         status, resp = _post(addr, "/v1/completions", {
             "prompt": "5 9", "max_tokens": 3, "temperature": 0.9})
-        assert status == 400
-        assert "greedy" in _get_json(resp)["error"]["message"]
-        # streaming rejection is a clean 400 too (no broken SSE)
+        assert status == 200
+        assert len(_get_json(resp)["choices"][0]["text"]) > 0
+        # penalties: clean 400 (no broken SSE in streaming mode either)
         status, resp = _post(addr, "/v1/completions", {
             "prompt": "5 9", "max_tokens": 3, "temperature": 0.9,
-            "stream": True})
+            "frequency_penalty": 0.5})
+        assert status == 400
+        assert "penalt" in _get_json(resp)["error"]["message"]
+        status, resp = _post(addr, "/v1/completions", {
+            "prompt": "5 9", "max_tokens": 3, "temperature": 0.9,
+            "frequency_penalty": 0.5, "stream": True})
         assert status == 400
         resp.read()
         # the engine thread survived: greedy requests still work, through
