@@ -16,6 +16,18 @@ Sharding map (weights [in, out] convention):
 - lm_head   [H, V]         -> (None, "model")         vocab-sharded -> gather
 - norms/embed              -> replicated
 - cache k/v [L, B, K, S, D]-> (None, "data", "model", None, None)
+
+Paged layout (ops/paged_kv.py) composes with the same rules: the page
+pool [L, P, page, Kst, D] shards its kv-head axis over "model" (every
+shard holds its heads of EVERY page, so one global block table serves all
+shards) and stays un-sharded over "data" — each data group's devices
+write only the pages its own slots allocated (the host allocator hands
+disjoint pages to disjoint slots), so pool replicas diverge ONLY in pages
+the other groups own, which this group's block-table rows never
+reference. Block-table rows and lengths shard over "data" like the slot
+cache's batch axis. Embedded-scale (int8) pools do NOT shard: the scale
+rows ride the kv-head axis (kv_cache.EMBED_PAD) and splitting them would
+separate scales from their heads — the engine guards that combination.
 """
 
 from __future__ import annotations
@@ -111,11 +123,33 @@ def param_pspecs(params) -> dict:
     }
 
 
-def cache_pspecs(quantized: bool = False) -> KVCache:
-    # token-major cache [L, B, S, K, D]: batch over data, kv heads over model
+def cache_pspecs(quantized: bool = False, embedded: bool = False) -> KVCache:
+    # token-major cache [L, B, S, K, D]: batch over data, kv heads over
+    # model. Padded and embedded-scale layouts shard the SAME way because
+    # the cache is allocated with per-shard groups on the head axis
+    # (kv_cache.new_kv_cache shard_groups): pad rows and scale rows stay
+    # with their shard's heads.
     kv = P(None, DATA_AXIS, None, MODEL_AXIS, None)
-    sc = P(None, DATA_AXIS, None, MODEL_AXIS) if quantized else None
-    return KVCache(k=kv, v=kv, lengths=P(DATA_AXIS), k_scale=sc, v_scale=sc)
+    sc = (P(None, DATA_AXIS, None, MODEL_AXIS)
+          if quantized and not embedded else None)
+    return KVCache(k=kv, v=kv, lengths=P(DATA_AXIS), k_scale=sc, v_scale=sc,
+                   embedded_scales=embedded)
+
+
+def paged_cache_pspecs(cache) -> "PagedKVCache":
+    """Paged pool [L, P, page, Kst, D]: kv heads over model, pages NOT
+    sharded over data (see module docstring for why the per-data-group
+    divergence in unreferenced pages is sound); table/lengths rows over
+    data."""
+    from llm_inference_engine_tpu.ops.paged_kv import PagedKVCache
+    if cache.embedded_scales:
+        raise NotImplementedError(
+            "embedded-scale (int8) paged pools do not shard: the scale "
+            "rows ride the kv-head axis")
+    kv = P(None, None, None, MODEL_AXIS, None)
+    return PagedKVCache(k=kv, v=kv, block_table=P(DATA_AXIS, None),
+                        lengths=P(DATA_AXIS),
+                        embedded_scales=cache.embedded_scales)
 
 
 def _put(tree, specs, mesh: Mesh):
@@ -127,22 +161,34 @@ def shard_params(params, mesh: Mesh):
     return _put(params, param_pspecs(params), mesh)
 
 
-def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    return _put(cache, cache_pspecs(cache.quantized), mesh)
+def shard_cache(cache, mesh: Mesh):
+    from llm_inference_engine_tpu.ops.paged_kv import PagedKVCache
+    specs = (paged_cache_pspecs(cache) if isinstance(cache, PagedKVCache)
+             else cache_pspecs(cache.quantized, cache.embedded_scales))
+    return _put(cache, specs, mesh)
 
 
 def make_sharded_forward(config: ModelConfig, engine_config: EngineConfig,
-                         mesh: Mesh, params_example):
+                         mesh: Mesh, params_example, cache_example=None):
     """Build forward_hidden over the mesh: local compute via shard_map with
     explicit psum/all_gather collectives; returns a function with the same
-    signature as models.llama.forward_hidden (global shapes in/out)."""
+    signature as models.llama.forward_hidden (global shapes in/out).
+    ``cache_example``: pass the engine's cache to pick the matching specs
+    (slot vs paged layout); None keeps the slot-layout default."""
+    from llm_inference_engine_tpu.ops.paged_kv import PagedKVCache
     validate_mesh(config, engine_config, mesh)
     cfg_local = local_config(config, mesh)
     tp = mesh.shape[MODEL_AXIS]
 
     p_specs = param_pspecs(params_example)
-    c_specs = cache_pspecs(
-        quantized=engine_config.kv_cache_dtype is not None)
+    if isinstance(cache_example, PagedKVCache):
+        c_specs = paged_cache_pspecs(cache_example)
+    elif cache_example is not None:
+        c_specs = cache_pspecs(cache_example.quantized,
+                               cache_example.embedded_scales)
+    else:
+        c_specs = cache_pspecs(
+            quantized=engine_config.kv_cache_dtype is not None)
 
     def local_fwd(params, cache, token_ids, q_start, kv_len):
         # runs per-shard: token_ids [B_loc, T], params local columns/rows

@@ -84,9 +84,11 @@ class InferenceEngine:
         self.paged = eng.kv_layout == "paged"
         if self.paged:
             from llm_inference_engine_tpu.ops import paged_kv as pkv
-            if mesh is not None:
+            if mesh is not None and eng.kv_cache_dtype == jnp.int8:
                 raise NotImplementedError(
-                    "paged KV cache is single-device for now")
+                    "paged + mesh excludes the int8 (embedded-scale) pool: "
+                    "scale rows ride the kv-head axis and cannot shard "
+                    "(parallel/sharding.paged_cache_pspecs)")
             page = eng.page_size
             # multi-token writes must stay within one page: chunk size
             # divides the page (ops/paged_kv.py write invariant)
@@ -108,24 +110,26 @@ class InferenceEngine:
             self._slot_pages: list[list[int]] = [[] for _ in range(B)]
             self._table_host = np.zeros((B, maxp), np.int32)
         else:
+            # under a mesh, tile padding and embedded scale rows apply PER
+            # MODEL-AXIS SHARD (shard_groups): every shard's local slice is
+            # a self-contained padded/embedded layout, so the fast cache
+            # paths compose with TP (ops/kv_cache.new_kv_cache)
+            from llm_inference_engine_tpu.parallel.mesh import MODEL_AXIS
+            tp_groups = 1 if mesh is None else mesh.shape[MODEL_AXIS]
             cache = kvc.new_kv_cache(
                 config.num_layers, engine_config.max_batch_size,
                 config.num_kv_heads, engine_config.max_seq_len,
                 config.head_dim,
                 dtype=config.dtype,
                 quantized=engine_config.kv_cache_dtype == jnp.int8,
-                # embedded scale rows and tile padding are single-device
-                # only (sharding the padded head axis would split pad rows
-                # / the scale row across devices); None = auto (the model
-                # layer adapts to a padded cache)
-                embedded=False if (mesh is not None) else None,
-                pad_to_tiles=False if (mesh is not None) else None)
+                embedded=None, pad_to_tiles=None, shard_groups=tp_groups)
 
         if mesh is not None:
             from llm_inference_engine_tpu.parallel import sharding
             params = sharding.shard_params(params, mesh)
             cache = sharding.shard_cache(cache, mesh)
-            _sharded = sharding.make_sharded_forward(cfg, eng, mesh, params)
+            _sharded = sharding.make_sharded_forward(cfg, eng, mesh, params,
+                                                     cache_example=cache)
 
             def fwd(p, c, ids, q_start, kv_len, kv_hi=None):
                 return _sharded(p, c, ids, q_start, kv_len)
