@@ -127,36 +127,52 @@ def new_kv_cache(num_layers: int, batch_size: int, num_kv_heads: int,
                  max_seq_len: int, head_dim: int, dtype=jnp.bfloat16,
                  quantized: bool = False,
                  embedded: Optional[bool] = None,
-                 pad_to_tiles: Optional[bool] = False) -> KVCache:
+                 pad_to_tiles: Optional[bool] = False,
+                 shard_groups: int = 1) -> KVCache:
     """``pad_to_tiles`` pads K/D up to the (8, 128) tile. None = pad when
     compiled Pallas kernels will run — ONLY for callers whose forwards go
     through models/llama.py, which zero-pads its new-token writes and
     queries to match and slices the attention output back (numerically
     identical, pinned by tests/test_padded_cache.py). The default is
     False so direct users of the low-level cache/attention ops get
-    exactly the K/D they asked for."""
+    exactly the K/D they asked for.
+
+    ``shard_groups``: allocate the head axis as that many EQUAL groups
+    (the tensor-parallel shard count) with tile padding and embedded
+    scale rows applied PER GROUP — so an even split over the mesh's
+    model axis hands every shard a self-contained local layout
+    [K/g (+pad) (+EMBED_PAD), D], identical to what a single-device
+    cache of K/g heads would be. Note the ``num_kv_heads`` property is
+    a LOCAL-view accessor (inside shard_map); it is not meaningful on a
+    multi-group global array."""
+    if num_kv_heads % shard_groups:
+        raise ValueError(f"num_kv_heads {num_kv_heads} % shard_groups "
+                         f"{shard_groups}")
+    k_loc = num_kv_heads // shard_groups
     if pad_to_tiles is None:
         pad_to_tiles = use_pallas("auto") and not pallas_interpret()
     if pad_to_tiles:
-        num_kv_heads, head_dim = aligned_kv_dims(num_kv_heads, head_dim)
+        k_loc, head_dim = aligned_kv_dims(k_loc, head_dim)
     lengths = jnp.zeros((batch_size,), jnp.int32)
     if quantized:
         if embedded is None:
-            embedded = (embedded_supported(num_kv_heads, head_dim)
+            embedded = (embedded_supported(k_loc, head_dim)
                         and use_pallas("auto") and not pallas_interpret())
         if embedded:
             shape = (num_layers, batch_size, max_seq_len,
-                     num_kv_heads + EMBED_PAD, head_dim)
+                     shard_groups * (k_loc + EMBED_PAD), head_dim)
             return KVCache(jnp.zeros(shape, jnp.int8),
                            jnp.zeros(shape, jnp.int8), lengths,
                            embedded_scales=True)
-        shape = (num_layers, batch_size, max_seq_len, num_kv_heads, head_dim)
-        sshape = (num_layers, batch_size, max_seq_len, num_kv_heads)
+        shape = (num_layers, batch_size, max_seq_len,
+                 shard_groups * k_loc, head_dim)
+        sshape = shape[:-1]
         return KVCache(jnp.zeros(shape, jnp.int8),
                        jnp.zeros(shape, jnp.int8), lengths,
                        jnp.ones(sshape, jnp.float32),
                        jnp.ones(sshape, jnp.float32))
-    shape = (num_layers, batch_size, max_seq_len, num_kv_heads, head_dim)
+    shape = (num_layers, batch_size, max_seq_len, shard_groups * k_loc,
+             head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), lengths)
 
 

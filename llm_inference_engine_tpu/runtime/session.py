@@ -51,6 +51,29 @@ class ChatSession:
         return self.tokenizer.encode(
             text, add_bos=(self.round == 0 and self.template.add_bos))
 
+    def _paged_carry_history(self) -> list[int]:
+        """Carry the history's full pages across a slot reset (paged
+        engines): share them with the allocator so the reset cannot free
+        them, re-adopt them into the fresh slot, and return the partial
+        tail tokens the caller must re-prefill (page-aligned appends are
+        legal; mid-page ones are not). Falls back to full re-prefill when
+        less than one page of history exists."""
+        eng = self.engine
+        page = eng.engine_config.page_size
+        hist = self.token_history
+        n_full = min(len(hist) // page, len(eng._slot_pages[self.slot]))
+        if n_full == 0:
+            eng.reset([self.slot])
+            return list(hist)
+        pages = list(eng._slot_pages[self.slot][:n_full])
+        eng._allocator.share(pages)          # survive the reset
+        eng.reset([self.slot])
+        eng.adopt_prefix_pages(self.slot, pages, n_full * page)
+        eng._allocator.free(pages)           # drop our temporary ref
+        # penalty counts for the carried tokens (reset cleared them)
+        eng.seed_counts(self.slot, ctx_tokens=hist[:n_full * page])
+        return list(hist[n_full * page:])
+
     def _with_stops(self, sampling: SamplingParams) -> SamplingParams:
         if not self._stop_ids:
             return sampling
@@ -68,11 +91,14 @@ class ChatSession:
 
         if getattr(self.engine, "paged", False) and self.token_history:
             # paged pools take multi-token writes only at page-aligned
-            # starts; re-prefill the full accumulated context from 0 each
-            # round (exactly the reference's makeHistory behavior,
-            # llama.cpp:137-155) instead of appending mid-page
-            self.engine.reset([self.slot])
-            input_ids = list(prompt_history)
+            # starts, so a mid-page append is illegal. Instead of
+            # re-prefilling the whole history (round-2 behavior; the
+            # reference's makeHistory recomputed everything,
+            # llama.cpp:137-155), carry the history's FULL pages across
+            # the slot reset via the allocator's refcounts (the zero-copy
+            # prefix machinery) and re-prefill only the partial tail page
+            # + this round's new tokens.
+            input_ids = self._paged_carry_history() + input_ids
 
         pieces: list[str] = []
 

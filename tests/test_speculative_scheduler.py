@@ -72,10 +72,17 @@ def test_spec_scheduler_chunked_admission_mixes_with_rounds():
     assert b.output_ids == b0.output_ids
 
 
-def test_spec_scheduler_rejects_sampling():
+def test_spec_scheduler_rejects_penalties_only():
+    """Sampled submissions are accepted (stochastic acceptance rule,
+    tests/test_speculative_sampled.py); logit penalties remain rejected."""
     spec = SpeculativeScheduler(_engine(), _engine(), eos_token_id=None)
-    with pytest.raises(ValueError, match="greedy"):
-        spec.submit([1, 2, 3], SamplingParams(temperature=0.8))
+    with pytest.raises(ValueError, match="penalties"):
+        spec.submit([1, 2, 3], SamplingParams(temperature=0.8,
+                                              frequency_penalty=0.2))
+    r = spec.submit([1, 2, 3], SamplingParams(temperature=0.8,
+                                              max_new_tokens=6))
+    spec.run(max_steps=500)
+    assert r.finished and len(r.output_ids) == 6
 
 
 def test_spec_scheduler_eos_and_capacity():
@@ -123,10 +130,24 @@ def test_spec_scheduler_logprobs_match_plain():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_spec_scheduler_rejects_penalties_and_prefix():
-    spec = SpeculativeScheduler(_engine(), _engine(), eos_token_id=None)
-    with pytest.raises(ValueError, match="penalties"):
-        spec.submit([1, 2, 3], SamplingParams(greedy=True,
-                                              repetition_penalty=1.3))
-    with pytest.raises(NotImplementedError):
-        spec.register_prefix([1, 2, 3])
+def test_spec_scheduler_prefix_caching_dual_restore():
+    """Prefix caching under speculative scheduling (VERDICT r2 ask #6):
+    the paired snapshot restores into BOTH caches, so a cache-hit request
+    generates exactly what a cold one does."""
+    prefix = list(range(1, 25))
+    tails = [[30, 31, 32], [40, 41]]
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+
+    cold = SpeculativeScheduler(_engine(), _engine(seed=1),
+                                eos_token_id=None, num_draft=3)
+    want = _run(cold, [prefix + t for t in tails], sp)
+
+    warm = SpeculativeScheduler(_engine(), _engine(seed=1),
+                                eos_token_id=None, num_draft=3)
+    entry = warm.register_prefix(prefix)
+    assert entry.length == len(prefix)
+    reqs = [warm.submit(prefix + t, sp) for t in tails]
+    warm.run(max_steps=2000)
+    assert [r.output_ids for r in reqs] == want
+    # the prefix was actually reused, not recomputed
+    assert all(r.reused_prefix_len == len(prefix) for r in reqs)
