@@ -534,7 +534,8 @@ def _pick_bk(k_in: int, step: int, target: int = 1024,
     return pick
 
 
-def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor):
+def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor,
+                 out_bytes: int = 2):
     """(bm, bn, bk) for the fused matmul grid, or None -> XLA fallback.
 
     INT8: bk = 1024 regardless of divisibility — the kernel masks the
@@ -584,13 +585,23 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor):
         gb = bk // t.group_size if t.mode == "int4" else 1
         wrow = bk // 2 if t.mode == "int4" else bk
 
-        def fits(cand):
-            return (2 * wrow * cand + 2 * gb * cand * 4
-                    + bm * cand * 4 + 2 * bm * bk * 2) <= 12 * 1024 * 1024
+        def fits(bm_c, bn_c):
+            # weight + scale blocks x2 (double-buffered), x blocks x2,
+            # OUT blocks x2 (Mosaic double-buffers output windows too),
+            # + the f32 accumulator scratch. Omitting the out term
+            # overflowed the 16 MB scoped-VMEM limit at prefill widths x
+            # vocab with an f32 out (m=256, n=32000: 16.6 MB on hardware).
+            return (2 * wrow * bn_c + 2 * gb * bn_c * 4
+                    + 2 * bm_c * bk * 2
+                    + 2 * bm_c * bn_c * out_bytes
+                    + bm_c * bn_c * 4) <= 14 * 1024 * 1024
+        while (not fits(bm, bn) and bm % 16 == 0 and m % bm == 0
+               and bm > 8):
+            bm //= 2
         for cand in range(bn + 128, min(n, 8192) + 1, 128):
-            if n % cand == 0 and fits(cand):
+            if n % cand == 0 and fits(bm, cand):
                 bn = cand
-    return (bm, bn, bk) if feasible else None
+    return (bm, bn, bk) if feasible and fits(bm, bn) else None
 
 
 def quantized_linear(x: jax.Array, t: QuantizedTensor,
@@ -627,7 +638,8 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
         if m >= _PREFILL_M and _large_m_ok(t, kernels):
             y = _large_m_linear(x2, t, None, out_dtype).reshape(*lead, n)
         else:
-            plan = _plan_blocks(m, n, k_in, t)
+            plan = _plan_blocks(m, n, k_in, t,
+                                out_bytes=jnp.dtype(out_dtype).itemsize)
             if plan is None:  # tiny/debug shapes: XLA path (still fused)
                 return quantized_linear_xla(x, t, bias, out_dtype)
             bm, bn, bk = plan
@@ -677,7 +689,8 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
                  + bias.astype(jnp.float32)).astype(out_dtype)
         return y
 
-    plan = _plan_blocks(m, n, k_in, t)
+    plan = _plan_blocks(m, n, k_in, t,
+                        out_bytes=jnp.dtype(out_dtype).itemsize)
     if plan is None:
         return quantized_linear(x, t, bias, out_dtype, kernels="xla",
                                 layer=layer)

@@ -1,0 +1,140 @@
+"""Context-parallel attention parity: ring prefill + split-KV decode on a
+virtual 8-device CPU mesh vs the single-device golden attention.
+
+SURVEY.md §5 long-context row: ring/CP over ICI is the designed extension
+point beyond one chip's HBM. These tests pin that the sequence-sharded
+paths (parallel/context_parallel.py) produce exactly the single-device
+flash/golden numbers for causal, ragged, GQA and sliding-window cases.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_inference_engine_tpu.ops.attention import attention_xla
+from llm_inference_engine_tpu.parallel import context_parallel as cp
+
+
+def _mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return cp.make_cp_mesh(n)
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize("gqa", [1, 4])
+@pytest.mark.parametrize("ragged", [False, True])
+def test_ring_prefill_parity(gqa, ragged):
+    mesh = _mesh(8)
+    B, T, K, D = 2, 64, 2, 16
+    H = K * gqa
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(keys[0], (B, T, H, D))
+    k = _rand(keys[1], (B, T, K, D))
+    v = _rand(keys[2], (B, T, K, D))
+    q_start = jnp.zeros((B,), jnp.int32)
+    kv_len = (jnp.array([T, T - 13], jnp.int32) if ragged
+              else jnp.full((B,), T, jnp.int32))
+
+    got = cp.ring_prefill_sharded(mesh, q, k, v, q_start, kv_len)
+    want = attention_xla(q, k, v, q_start, kv_len, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_prefill_with_history_offset():
+    """Chunked prefill: 16 tokens of history already in the cache, the
+    query chunk covers absolute positions 16..79."""
+    mesh = _mesh(8)
+    B, T, S, K, D, H = 2, 64, 80, 2, 16, 4
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = _rand(keys[0], (B, T, H, D))
+    k = _rand(keys[1], (B, S, K, D))
+    v = _rand(keys[2], (B, S, K, D))
+    q_start = jnp.full((B,), 16, jnp.int32)
+    kv_len = jnp.full((B,), S, jnp.int32)
+
+    got = cp.ring_prefill_sharded(mesh, q, k, v, q_start, kv_len)
+    want = attention_xla(q, k, v, q_start, kv_len, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_prefill_sliding_window():
+    mesh = _mesh(8)
+    B, T, K, D, H, W = 2, 64, 2, 16, 4, 24
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = _rand(keys[0], (B, T, H, D))
+    k = _rand(keys[1], (B, T, K, D))
+    v = _rand(keys[2], (B, T, K, D))
+    q_start = jnp.zeros((B,), jnp.int32)
+    kv_len = jnp.full((B,), T, jnp.int32)
+
+    got = cp.ring_prefill_sharded(mesh, q, k, v, q_start, kv_len, window=W)
+    want = attention_xla(q, k, v, q_start, kv_len, causal=True, window=W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("gqa", [1, 4])
+def test_split_kv_decode_parity(gqa):
+    mesh = _mesh(8)
+    B, S, K, D = 3, 128, 2, 16
+    H = K * gqa
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = _rand(keys[0], (B, 1, H, D))
+    k = _rand(keys[1], (B, S, K, D))
+    v = _rand(keys[2], (B, S, K, D))
+    kv_len = jnp.array([128, 77, 1], jnp.int32)   # ragged incl. length-1
+
+    got = cp.split_decode_sharded(mesh, q, k, v, kv_len)
+    want = attention_xla(q, k, v, kv_len - 1, kv_len, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_split_kv_decode_window():
+    mesh = _mesh(8)
+    B, S, K, D, H, W = 2, 128, 2, 16, 4, 40
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = _rand(keys[0], (B, 1, H, D))
+    k = _rand(keys[1], (B, S, K, D))
+    v = _rand(keys[2], (B, S, K, D))
+    kv_len = jnp.array([128, 100], jnp.int32)
+
+    got = cp.split_decode_sharded(mesh, q, k, v, kv_len, window=W)
+    want = attention_xla(q, k, v, kv_len - 1, kv_len, causal=True, window=W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_merge_stats_associative_and_empty_safe():
+    """The online merge is associative and a fully-masked chunk is the
+    identity element (finite sentinel: no NaN)."""
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 9)
+    shape_acc, shape_ml = (2, 4, 3, 8), (2, 4, 3)
+
+    def mk(i):
+        return (_rand(ks[3 * i], shape_acc),
+                _rand(ks[3 * i + 1], shape_ml),
+                jnp.abs(_rand(ks[3 * i + 2], shape_ml)) + 0.1)
+
+    a, b, c = mk(0), mk(1), mk(2)
+    left = cp.merge_stats(*cp.merge_stats(*a, *b), *c)
+    right = cp.merge_stats(*a, *cp.merge_stats(*b, *c))
+    for x, y in zip(left, right):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
+
+    empty = (jnp.zeros(shape_acc), jnp.full(shape_ml, -1e30),
+             jnp.zeros(shape_ml))
+    merged = cp.merge_stats(*a, *empty)
+    for x, y in zip(merged, a):
+        assert not np.any(np.isnan(np.asarray(x)))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6)

@@ -1,0 +1,206 @@
+"""Tokenizer asset hardening (VERDICT r2 #10).
+
+Two layers of evidence that the three encoder implementations — pure
+Python (tokenizer/bpe.py), native C++ (csrc/tokenizer.cc), and the
+reference's flm binary-vocab loader — agree on REAL vocab assets, not
+just tiny synthetic dicts:
+
+1. When the ``sentencepiece`` library is importable, train a real tiny
+   BPE model in-test (byte fallback on) and assert our embedded protobuf
+   reader + both encoders reproduce the library's own encodings. This
+   SKIPS (never silently passes) when the lib is absent — the reference
+   tokenizer's contract is SentencePiece semantics (tokenizer.h:168-347),
+   so the real-library check runs wherever the lib exists.
+
+2. Always: serialize a full-sized SentencePiece ModelProto BY HAND
+   (correct wire format: 259 byte-fallback pieces, specials with piece
+   types, merge pieces, plus unknown proto fields that the reader must
+   skip), then assert Python-from-proto, C++-native, and flm-binary
+   loaders produce identical encodings over a tricky corpus, and that
+   decode round-trips.
+"""
+
+import struct
+
+import pytest
+
+from llm_inference_engine_tpu.tokenizer.bpe import (
+    BPETokenizer, _load_flm_binary, _load_sentencepiece_model)
+from llm_inference_engine_tpu.tokenizer.native import wrap_native
+
+CORPUS = [
+    "hello world",
+    "the cat sat on the mat",
+    "double  spaces  inside and trailing ",
+    "héllo ☃ emoji 🎉 mix",
+    "日本語のテキスト",
+    "tabs\tand\nnewlines",
+    "",
+    "a",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    "punctuation! (parens) [brackets] {braces} — dash",
+]
+
+
+# ---------------------------------------------------------------------------
+# wire-format serialization helpers (ModelProto subset)
+# ---------------------------------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        out += bytes([b7 | (0x80 if v else 0)])
+        if not v:
+            return out
+
+
+def _piece_msg(piece: str, score: float, ptype: int = 1) -> bytes:
+    pb = piece.encode("utf-8")
+    body = (bytes([0x0A]) + _varint(len(pb)) + pb          # 1: piece
+            + bytes([0x15]) + struct.pack("<f", score)     # 2: score
+            + bytes([0x18]) + _varint(ptype))              # 3: type
+    return bytes([0x0A]) + _varint(len(body)) + body       # ModelProto.1
+
+
+def _trainer_spec_noise() -> bytes:
+    """A TrainerSpec submessage (ModelProto field 2) the reader must skip,
+    plus a varint field and a fixed64 field it has never seen."""
+    sub = bytes([0x0A]) + _varint(5) + b"noise"
+    msg = bytes([0x12]) + _varint(len(sub)) + sub          # field 2, wire 2
+    msg += bytes([0x20]) + _varint(12345)                  # field 4, wire 0
+    msg += bytes([0x31]) + struct.pack("<q", -1)           # field 6, wire 1
+    return msg
+
+
+def build_realistic_vocab():
+    """(ordered piece list, scores) shaped like a real Llama-style vocab:
+    specials, 256 byte pieces, single chars, scored merges."""
+    pieces = []                                            # (piece, score, type)
+    pieces.append(("<unk>", 0.0, 2))                       # UNKNOWN
+    pieces.append(("<s>", 0.0, 3))                         # CONTROL
+    pieces.append(("</s>", 0.0, 3))
+    for b in range(256):
+        pieces.append((f"<0x{b:02X}>", -1000.0, 6))        # BYTE
+    chars = "abcdefghijklmnopqrstuvwxyz ▁.,!?()[]{}—"
+    for i, c in enumerate(chars):
+        pieces.append((c, -200.0 - i, 1))
+    merges = [("th", -1.0), ("he", -1.2), ("the", -0.8), ("▁the", -0.5),
+              ("at", -2.0), ("cat", -1.5), ("▁cat", -1.1), ("sat", -1.6),
+              ("▁sat", -1.2), ("on", -1.9), ("▁on", -1.4), ("mat", -1.7),
+              ("▁mat", -1.3), ("ll", -2.2), ("llo", -1.8), ("hello", -0.9),
+              ("▁hello", -0.6), ("wor", -2.1), ("world", -1.0),
+              ("▁world", -0.7), ("an", -2.3), ("and", -1.4), ("▁and", -1.0),
+              ("aa", -2.5), ("aaaa", -2.0), ("aaaaaaaa", -1.6),
+              ("in", -2.4), ("ing", -1.9), ("▁", -10.0)]
+    for p, s in merges:
+        if p not in [q[0] for q in pieces]:
+            pieces.append((p, s, 1))
+    return pieces
+
+
+def _write_spm_proto(path, pieces):
+    blob = b"".join(_piece_msg(p, s, t) for p, s, t in pieces)
+    blob += _trainer_spec_noise()
+    path.write_bytes(blob)
+
+
+def _write_flm(path, pieces):
+    """The reference's binary vocab layout (tokenizer.h:138-167)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", 1))
+        f.write(struct.pack("<i", 1))
+        for s in ("tokenizer_use_score", "1"):
+            f.write(struct.pack("<i", len(s)))
+            f.write(s.encode())
+        f.write(struct.pack("<i", len(pieces)))
+        for tid, (piece, score, _t) in enumerate(pieces):
+            pb = piece.encode("utf-8")
+            f.write(struct.pack("<i", len(pb)))
+            for ch in pb:
+                f.write(struct.pack("<i", ch))
+            f.write(struct.pack("<i", tid))
+            f.write(struct.pack("<f", score))
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_handbuilt_proto_cross_encoder_agreement(tmp_path):
+    pieces = build_realistic_vocab()
+    proto = tmp_path / "tokenizer.model"
+    flm = tmp_path / "tokenizer.bin"
+    _write_spm_proto(proto, pieces)
+    _write_flm(flm, pieces)
+
+    tok_proto = _load_sentencepiece_model(str(proto))
+    tok_flm = _load_flm_binary(str(flm))
+    tok_native = wrap_native(tok_proto)
+    native_available = tok_native is not tok_proto
+
+    # all three loaders see the same vocab
+    assert tok_proto.piece_to_id == tok_flm.piece_to_id
+    assert tok_proto.piece_score["▁the"] == pytest.approx(-0.5)
+
+    for text in CORPUS:
+        ids = tok_proto.encode(text, add_bos=False)
+        assert tok_flm.encode(text, add_bos=False) == ids
+        if native_available:
+            assert tok_native.encode(text, add_bos=False) == list(ids), text
+        # byte fallback must cover everything: lossless roundtrip
+        assert tok_proto.decode(ids) == text
+        if native_available:
+            assert tok_native.decode(ids) == text
+
+    # merge semantics sanity on the realistic vocab: best-scored pieces win
+    ids = tok_proto.encode("the cat sat on the mat", add_bos=False)
+    toks = [tok_proto.id_to_piece[i] for i in ids]
+    assert "▁the" in toks and "▁cat" in toks and "▁mat" in toks
+
+
+def test_handbuilt_proto_native_matches_python_incremental(tmp_path):
+    pieces = build_realistic_vocab()
+    proto = tmp_path / "tokenizer.model"
+    _write_spm_proto(proto, pieces)
+    tok = _load_sentencepiece_model(str(proto))
+    nat = wrap_native(tok)
+    if nat is tok:
+        pytest.skip("native library unavailable")
+    ids = tok.encode("hello world and the cat", add_bos=False)
+    prev = []
+    for i in ids:
+        assert nat.decode_incremental(prev, i) == \
+            tok.decode_incremental(prev, i)
+        prev.append(i)
+
+
+def test_real_sentencepiece_trained_model_parity(tmp_path):
+    """Train a REAL tiny SentencePiece BPE model (byte fallback) and hold
+    our reader + encoders to the library's own output. Skips — never
+    silently passes — when the library is absent."""
+    spm = pytest.importorskip("sentencepiece")
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(
+        ["the cat sat on the mat", "hello world", "a quick brown fox",
+         "jumps over the lazy dog", "pack my box with five dozen jugs",
+         "sphinx of black quartz judge my vow"] * 50))
+    spm.SentencePieceTrainer.train(
+        input=str(corpus), model_prefix=str(tmp_path / "tiny"),
+        vocab_size=320, model_type="bpe", byte_fallback=True,
+        character_coverage=1.0)
+    model_path = str(tmp_path / "tiny.model")
+
+    sp = spm.SentencePieceProcessor(model_file=model_path)
+    tok = _load_sentencepiece_model(model_path)
+    nat = wrap_native(tok)
+
+    for text in CORPUS:
+        want = sp.encode(text, out_type=int)
+        got = tok.encode(text, add_bos=False)
+        assert list(got) == list(want), (text, got, want)
+        if nat is not tok:
+            assert list(nat.encode(text, add_bos=False)) == list(want)
+        assert tok.decode(got) == sp.decode(want)
