@@ -41,8 +41,12 @@ KV_HI = 512          # engine watermark for CTX (engine.py:_kv_watermark)
 ITERS = 32
 
 
-def timeit_scan(step, carry0, iters=ITERS, repeats=3):
-    @jax.jit
+def timeit_scan(step, carry0, iters=ITERS, repeats=3, donate=False):
+    """``donate=True`` donates and re-threads the carry call-to-call:
+    multi-GB cache carries would otherwise hold input+output copies alive
+    at once (OOM next to the 7B weights on a 16 GB chip). Donated inputs
+    are consumed — callers must not reuse them afterwards."""
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def loop(c):
         def body(c, _):
             return step(c), None
@@ -54,10 +58,10 @@ def timeit_scan(step, carry0, iters=ITERS, repeats=3):
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = loop(carry0)
+        out = loop(out if donate else carry0)
         _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
         best = min(best, time.perf_counter() - t0)
-    return best / iters
+    return best / iters, out
 
 
 def main():
@@ -96,8 +100,9 @@ def main():
     lay = params["layers"]
     kernels = eng.kernels
 
-    cache = kvc.new_kv_cache(L, B, K, MAX_SEQ, D, dtype=cfg.dtype,
+    cache = kvc.new_kv_cache(L, B, K, KV_HI, D, dtype=cfg.dtype,
                              pad_to_tiles=None)
+    embedded = cache.embedded_scales
     # put real-looking lengths in
     q_start = jnp.full((B,), ctx, jnp.int32)
     kv_len = q_start + 1
@@ -123,9 +128,9 @@ def main():
 
     # ---- rmsnorm -----------------------------------------------------
     g = lay["attn_norm"][0]
-    dt = timeit_scan(lambda x: rmsnorm(x, g, cfg.rms_norm_eps,
-                                       kernels=kernels), x0)
-    add("rmsnorm", dt, 2 * L + 1, 2 * x0.nbytes + g.nbytes)
+    dt, _o = timeit_scan(lambda x: rmsnorm(x, g, cfg.rms_norm_eps,
+                                           kernels=kernels), x0)
+    add("rmsnorm", dt, L + 1, 2 * x0.nbytes + g.nbytes)
 
     # ---- stacked quantized matmuls (cycling layer idx) ---------------
     def mm_stacked(name, x_in, out_slice):
@@ -139,7 +144,7 @@ def main():
             return (x.at[..., :w].add(
                 y2[..., :w].astype(x.dtype) * jnp.bfloat16(1e-8)), i + 1)
 
-        dt = timeit_scan(step, (x_in, jnp.int32(0)))
+        dt, _o = timeit_scan(step, (x_in, jnp.int32(0)))
         add(name, dt, L, qbytes(t) + x_in.nbytes + out_slice * B * 2)
         return dt
 
@@ -156,7 +161,7 @@ def main():
                                  cfg.rope_scaling, kernels=kernels)
         return c.at[..., :Hq * D].add(
             q.reshape(B, 1, -1).astype(c.dtype) * jnp.bfloat16(1e-8))
-    dt = timeit_scan(rope_step, qkv)
+    dt, _o = timeit_scan(rope_step, qkv)
     add("split_qkv_rope", dt, L, 2 * qkv.nbytes)
 
     # ---- fused decode attention (write+attend, cycling layers) -------
@@ -168,30 +173,37 @@ def main():
         out, kc, vc = attention_decode_fused_mxu(
             q, kn, vn_const, kc, vc, q_start, kv_len, i % L,
             sm_scale=sm_scale, block_kv=eng.decode_block_kv, kv_hi=KV_HI,
-            embedded=cache.embedded_scales, window=cfg.sliding_window)
+            embedded=embedded, window=cfg.sliding_window)
         return (q + out.astype(q.dtype) * jnp.bfloat16(1e-8), kc, vc, i + 1)
 
     vn_const = kn
-    dt = timeit_scan(attn_step, (qh, cache.k, cache.v, jnp.int32(0)))
+    ck, cv = cache.k, cache.v
+    del cache
+    dt, out = timeit_scan(attn_step, (qh, ck, cv, jnp.int32(0)),
+                          donate=True)
+    del ck, cv
+    _, ck, cv, _ = out
     add("attn_decode_fused", dt, L, B * K * ctx * D * 2 * 2)
 
     # ---- add_residual_rmsnorm / silu / add_residual -------------------
-    dt = timeit_scan(lambda x: add_residual_rmsnorm(
+    dt, _o = timeit_scan(lambda x: add_residual_rmsnorm(
         x, x0, g, cfg.rms_norm_eps, kernels=kernels)[0], x0)
     add("add_resid_rmsnorm", dt, L, 3 * x0.nbytes)
 
     gu = jax.random.normal(key, (B, 1, 2 * cfg.intermediate_size),
                            jnp.bfloat16)
-    dt = timeit_scan(lambda c: (silu_and_mul(c, kernels=kernels)
-                                .repeat(2, -1) * jnp.bfloat16(1e-8) + c), gu)
+    dt, _o = timeit_scan(lambda c: (silu_and_mul(c, kernels=kernels)
+                                    .repeat(2, -1) * jnp.bfloat16(1e-8) + c),
+                         gu)
     add("silu_and_mul", dt, L, gu.nbytes * 3 // 2)
 
-    dt = timeit_scan(lambda x: add_residual(x, x0, kernels=kernels), x0)
+    dt, _o = timeit_scan(lambda x: add_residual(x, x0, kernels=kernels),
+                         x0)
     add("add_residual", dt, L, 3 * x0.nbytes)
 
     # ---- fixed tail ----------------------------------------------------
     ids = jnp.zeros((B, 1), jnp.int32)
-    dt = timeit_scan(lambda c: embedding_lookup(
+    dt, _o = timeit_scan(lambda c: embedding_lookup(
         params["embed"], ids, kernels=kernels).astype(jnp.bfloat16)
         * jnp.bfloat16(1e-8) + c, x0)
     add("embedding", dt, 1, B * Hd * 2)
@@ -201,13 +213,13 @@ def main():
         y = linear(c, params["lm_head"], out_dtype=jnp.float32,
                    kernels=kernels)
         return c + y[:, :Hd].astype(c.dtype) * jnp.bfloat16(1e-8)
-    dt = timeit_scan(lm_step, xh)
+    dt, _o = timeit_scan(lm_step, xh)
     lmb = (qbytes(params["lm_head"]) * L if isinstance(
         params["lm_head"], QuantizedTensor) else params["lm_head"].nbytes)
     add("lm_head", dt, 1, lmb + B * cfg.vocab_size * 4)
 
     logits = jax.random.normal(key, (B, cfg.vocab_size), jnp.float32)
-    dt = timeit_scan(lambda c: c.at[:, 0].add(
+    dt, _o = timeit_scan(lambda c: c.at[:, 0].add(
         jnp.argmax(c, -1).astype(jnp.float32) * 1e-8), logits)
     add("greedy_argmax", dt, 1, logits.nbytes)
 
@@ -227,10 +239,14 @@ def main():
             kv_hi=KV_HI)
         return (x_out, cc.k, cc.v, i + 1)
 
-    dt_layer = timeit_scan(layer_step, (x0, cache.k, cache.v, jnp.int32(0)))
+    dt_layer, out = timeit_scan(
+        layer_step, (x0 + 0, ck, cv, jnp.int32(0)), donate=True)
+    del ck, cv, out
     add("LAYER_IN_SITU", dt_layer, L, 0)
 
     # ---- whole rollout step (bench.py config) --------------------------
+    import gc
+    gc.collect()
     engine = InferenceEngine(cfg, eng, params)
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, cfg.vocab_size, size=128).tolist()
