@@ -257,9 +257,12 @@ class EngineConfig:
     kv_cache_dtype_name: str = ""    # "" = same as model dtype; "int8" = quantized
     quant_mode: str = "none"         # none | int8 | int4  (weight-only)
     quant_group_size: int = 128      # int4 grouped-scale group size
-    # parallelism (mesh shape); data * model must equal #devices used
+    # parallelism (mesh shape); data * seq * model must equal #devices used
     dp: int = 1
     tp: int = 1
+    cp: int = 1                      # context (sequence) parallelism: the KV
+                                     # cache's token capacity splits over the
+                                     # mesh's "seq" axis (parallel/cp_engine)
     # kernel selection: "pallas" on TPU, "xla" pure-jnp fallback, "auto" picks
     kernels: str = "auto"
     # pallas attention block sizes (VMEM-bounded: the all-heads kernel

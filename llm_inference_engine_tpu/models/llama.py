@@ -47,7 +47,7 @@ __all__ = ["decoder_forward", "forward_hidden", "lm_head_logits"]
 
 def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
                 cache: kvc.KVCache, positions, q_start, kv_len,
-                model_axis=None, kv_hi=None):
+                model_axis=None, kv_hi=None, cp=None):
     """One decoder layer. x: [B, T, H]; cache holds the full stacked
     [L, B, K, S, D] arrays — this layer reads/writes slice ``layer_idx``.
 
@@ -87,8 +87,8 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
     # intermediate dumping at the reference's SAVE_DATA points
     # (context_attention.cpp:193-304); a trace-time no-op unless enabled
     # (LLM_TPU_SAVE_DATA). Host callbacks don't compose with shard_map
-    # collectives, so TP runs skip the taps.
-    if _debug.tap.enabled and model_axis is None:
+    # collectives, so TP and CP runs skip the taps.
+    if _debug.tap.enabled and model_axis is None and cp is None:
         def dump(name, value):
             _debug.tap(name, value, layer=layer_idx)
     else:
@@ -135,7 +135,47 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         attention_decode_fused_mxu, can_fuse_decode_mxu)
     from llm_inference_engine_tpu.ops.paged_kv import (
         PagedKVCache, paged_update_at_layer)
-    if isinstance(cache, PagedKVCache):
+    from llm_inference_engine_tpu.parallel.cp_cache import (
+        CPCache, cp_write_plan)
+    if isinstance(cache, CPCache):
+        # context-parallel append-log cache (parallel/cp_cache.py): this
+        # rank writes its sub-chunk into its LOCAL log (never cross-rank),
+        # then attention runs over the seq axis — ring for prefill,
+        # split-KV (flash-decoding) for decode. Masks come from the
+        # absolute positions in cache.kv_pos, so log order is irrelevant.
+        from llm_inference_engine_tpu.parallel.context_parallel import (
+            ring_attention, split_kv_decode_attention)
+        assert cp is not None, "CPCache requires a CPSpec (cp_engine)"
+        me = jax.lax.axis_index(cp.axis)
+        start, count, _ = cp_write_plan(cache.llen, q_start, kv_len, me,
+                                        cp.n, T)
+        tmp = kvc.KVCache(k=cache.k, v=cache.v, lengths=cache.lengths)
+        tmp = kvc.update_cache_at_layer(tmp, layer_idx, k_new, v_new, start,
+                                        new_len=count, kernels=kernels)
+        cache = dataclasses.replace(cache, k=tmp.k, v=tmp.v)
+        # rows valid after this layer's write: the local log tail moved by
+        # ``count`` (kv_pos was already appended by the cp_engine wrapper)
+        s_local = cache.k.shape[2]
+        kv_hi_l = min(s_local, kv_hi) if kv_hi else s_local
+        k_loc = jax.lax.dynamic_index_in_dim(
+            cache.k, layer_idx, 0, keepdims=False)[:, :kv_hi_l]
+        v_loc = jax.lax.dynamic_index_in_dim(
+            cache.v, layer_idx, 0, keepdims=False)[:, :kv_hi_l]
+        kv_pos = cache.kv_pos[:, :kv_hi_l]
+        llen_me = cache.llen[:, me] + count
+        kv_valid = (jnp.arange(kv_hi_l, dtype=jnp.int32)[None, :]
+                    < llen_me[:, None])
+        if T == 1:
+            attn_out = split_kv_decode_attention(
+                q, k_loc, v_loc, positions, kv_pos, kv_valid, cp.axis,
+                sm_scale=sm_scale, window=cfg.sliding_window,
+                out_dtype=x.dtype)
+        else:
+            attn_out = ring_attention(
+                q, k_loc, v_loc, positions, kv_pos, kv_valid, cp.axis,
+                cp.n, sm_scale=sm_scale, causal=True,
+                window=cfg.sliding_window, out_dtype=x.dtype)
+    elif isinstance(cache, PagedKVCache):
         # paged path: block-table writes + table-indirected attention
         # (same kernels, paged index maps — ops/paged_kv.py)
         cache = paged_update_at_layer(cache, layer_idx, k_new, v_new,
@@ -203,7 +243,7 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
 
 def run_layers(cfg: ModelConfig, eng: EngineConfig, layers_params, x,
                cache: kvc.KVCache, positions, q_start, kv_len,
-               model_axis=None, kv_hi=None, write_gate=None):
+               model_axis=None, kv_hi=None, write_gate=None, cp=None):
     """The decoder layer loop: one ``lax.scan`` over stacked layer weights
     with the cache riding the carry (whole, never sliced per layer).
     ``layers_params`` holds as many layers as ``cache`` does — under
@@ -229,7 +269,7 @@ def run_layers(cfg: ModelConfig, eng: EngineConfig, layers_params, x,
         layer["__stacked__"] = stacked
         return _layer_step(
             cfg, eng, x_carry, layer, layer_idx, cache, positions,
-            q_start, kv_len, model_axis=model_axis, kv_hi=kv_hi)
+            q_start, kv_len, model_axis=model_axis, kv_hi=kv_hi, cp=cp)
 
     if write_gate is None:
         def body(carry, xs):
@@ -256,28 +296,41 @@ def run_layers(cfg: ModelConfig, eng: EngineConfig, layers_params, x,
 
 def decoder_forward(cfg: ModelConfig, eng: EngineConfig, params, token_ids,
                     cache: kvc.KVCache, q_start, kv_len, model_axis=None,
-                    kv_hi=None):
+                    kv_hi=None, cp=None):
     """Run all decoder layers. Returns (hidden [B,T,H], updated KVCache).
 
     token_ids: [B, T] int32 (prefill: padded prompt chunk; decode: T=1)
     q_start:   [B] write/attend offset (history length per slot)
     kv_len:    [B] total valid kv after this call (q_start + actual new)
+    cp:        CPSpec (parallel/cp_cache.py) when running inside shard_map
+               over a ``seq`` axis: prefill chunks are computed
+               sequence-sharded (this rank embeds/projects only its
+               [me*T/n, (me+1)*T/n) sub-chunk; hidden comes back
+               [B, T/n, H] local), decode stays replicated over seq.
     """
     B, T = token_ids.shape
-    positions = q_start[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    if cp is not None and T > 1:
+        t_local = T // cp.n
+        me = jax.lax.axis_index(cp.axis)
+        token_ids = jax.lax.dynamic_slice_in_dim(
+            token_ids, me * t_local, t_local, axis=1)
+        positions = (q_start[:, None] + me * t_local
+                     + jnp.arange(t_local, dtype=jnp.int32)[None, :])
+    else:
+        positions = q_start[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
 
     x = embedding_lookup(params["embed"], token_ids, kernels=eng.kernels)
     x = x.astype(cfg.dtype)
-    if _debug.tap.enabled and model_axis is None:
+    if _debug.tap.enabled and model_axis is None and cp is None:
         _debug.tap("embedding", x)
 
     x, cache = run_layers(cfg, eng, params["layers"], x, cache, positions,
                           q_start, kv_len, model_axis=model_axis,
-                          kv_hi=kv_hi)
+                          kv_hi=kv_hi, cp=cp)
     new_cache = dataclasses.replace(cache, lengths=kv_len)
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_norm_eps, kernels=eng.kernels)
-    if _debug.tap.enabled and model_axis is None:
+    if _debug.tap.enabled and model_axis is None and cp is None:
         _debug.tap("final_norm", x)
     return x, new_cache
 

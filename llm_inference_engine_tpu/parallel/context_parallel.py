@@ -77,9 +77,12 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
     """Blockwise-attention partials of a query chunk vs ONE kv chunk.
 
     q:        [B, Tq, H, D]
-    k, v:     [B, Tk, K, D]   (GQA-native: G = H // K)
     q_pos:    [B, Tq] int32   absolute position of each query row
-    kv_pos:   [Tk]    int32   absolute position of each kv row
+    k, v:     [B, Tk, K, D]   (GQA-native: G = H // K)
+    kv_pos:   [Tk] or [B, Tk] int32 absolute position of each kv row
+              (per-batch under the CP append-log cache layout, where each
+              slot's local rows map to different positions —
+              parallel/cp_cache.py)
     kv_valid: [B, Tk] bool    kv row holds a real token (pos < kv_len)
 
     Returns (acc, m, l):
@@ -97,12 +100,13 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
     vf = v.astype(jnp.float32)
 
     s = jnp.einsum("bikgd,btkd->bkgit", qf, kf) * scale   # [B,K,G,Tq,Tk]
+    kv_pos_b = kv_pos if kv_pos.ndim == 2 else kv_pos[None, :]  # [B?, Tk]
     visible = kv_valid[:, None, :]                        # [B, 1, Tk]
     if causal:
-        visible = visible & (kv_pos[None, None, :]
+        visible = visible & (kv_pos_b[:, None, :]
                              <= q_pos[:, :, None])        # [B, Tq, Tk]
         if window is not None:
-            visible = visible & (kv_pos[None, None, :]
+            visible = visible & (kv_pos_b[:, None, :]
                                  > q_pos[:, :, None] - window)
     else:
         visible = jnp.broadcast_to(visible, (B, Tq, k.shape[1]))

@@ -76,12 +76,44 @@ class InferenceEngine:
 
         cfg, eng = config, engine_config
 
-        if mesh is None and (eng.dp > 1 or eng.tp > 1):
+        if mesh is None and (eng.dp > 1 or eng.tp > 1 or eng.cp > 1):
             from llm_inference_engine_tpu.parallel import make_mesh
-            mesh = make_mesh(dp=eng.dp, tp=eng.tp)
+            mesh = make_mesh(dp=eng.dp, tp=eng.tp, cp=eng.cp)
         self.mesh = mesh
+        from llm_inference_engine_tpu.parallel.mesh import SEQ_AXIS
+        self.cp = 1 if mesh is None else mesh.shape.get(SEQ_AXIS, 1)
 
         self.paged = eng.kv_layout == "paged"
+        if self.cp > 1:
+            # context parallelism: per-rank append-log cache + ring/split-KV
+            # attention over the mesh's seq axis (parallel/cp_engine.py).
+            # Composes with dp/tp; paged and quantized-cache layouts are
+            # adjudicated out of scope (docs/ADR-composition-matrix.md).
+            if self.paged:
+                raise NotImplementedError(
+                    "cp>1 + paged KV: the page pool is a single-chip memory "
+                    "manager; CP's capacity axis replaces it "
+                    "(docs/ADR-composition-matrix.md)")
+            if eng.kv_cache_dtype is not None:
+                raise NotImplementedError(
+                    "cp>1 + quantized KV cache: the CP log stores bf16 "
+                    "(docs/ADR-composition-matrix.md)")
+            from llm_inference_engine_tpu.parallel import cp_engine, sharding
+            from llm_inference_engine_tpu.parallel.cp_cache import new_cp_cache
+            cache = new_cp_cache(
+                config.num_layers, eng.max_batch_size, config.num_kv_heads,
+                eng.max_seq_len, config.head_dim, self.cp, dtype=config.dtype)
+            params = sharding.shard_params(params, mesh)
+            from jax.sharding import NamedSharding
+            cache = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                cache, cp_engine.cp_cache_pspecs())
+            fwd = cp_engine.make_cp_forward(cfg, eng, mesh, params)
+
+            self.params = params
+            self.cache = cache
+            self._finish_init(fwd)
+            return
         if self.paged:
             from llm_inference_engine_tpu.ops import paged_kv as pkv
             if mesh is not None and eng.kv_cache_dtype == jnp.int8:
@@ -141,6 +173,14 @@ class InferenceEngine:
 
         self.params = params
         self.cache = cache
+        self._finish_init(fwd)
+
+    def _finish_init(self, fwd):
+        """Build the jitted step functions over ``fwd`` (shared by the
+        mesh-of-one, dp/tp-sharded, and cp paths — they differ only in
+        ``fwd`` and the cache layout)."""
+        config, engine_config = self.config, self.engine_config
+        eng = engine_config
         # context / generated token-occurrence counts per slot (drive the
         # repetition / presence / frequency penalties; ops/sampling.py)
         B_, V_ = engine_config.max_batch_size, config.vocab_size
@@ -390,6 +430,20 @@ class InferenceEngine:
 
     def reset(self, slots: Optional[Sequence[int]] = None):
         """Clear history (all slots, or specific ones)."""
+        if self.cp > 1:
+            # the CP append logs carry state beyond lengths (kv_pos, llen)
+            from llm_inference_engine_tpu.parallel.cp_cache import (
+                reset_cp_cache)
+            self.cache = reset_cp_cache(
+                self.cache, None if slots is None else list(slots))
+            if slots is None:
+                self._counts_ctx = jnp.zeros_like(self._counts_ctx)
+                self._counts_gen = jnp.zeros_like(self._counts_gen)
+            else:
+                rows = jnp.asarray(list(slots), jnp.int32)
+                self._counts_ctx = self._counts_ctx.at[rows].set(0)
+                self._counts_gen = self._counts_gen.at[rows].set(0)
+            return
         if slots is None:
             self.cache = dataclasses.replace(
                 self.cache, lengths=jnp.zeros_like(self.cache.lengths))
@@ -448,6 +502,8 @@ class InferenceEngine:
         if pad_to is not None:
             max_len = max(max_len, pad_to)
         lengths_host = np.asarray(jax.device_get(self.cache.lengths))
+        llen_host = (np.asarray(jax.device_get(self.cache.llen))
+                     if self.cp > 1 else None)
 
         final_logits = None
         offset = 0
@@ -465,6 +521,23 @@ class InferenceEngine:
             for slot, p in zip(slots, prompts):
                 chunk = p[offset:offset + chunk_lens[slot]]
                 token_ids[slot, :len(chunk)] = np.asarray(chunk, np.int32)
+
+            if llen_host is not None:
+                # CP append logs fill unevenly across ragged chunks (rank 0
+                # takes each chunk's head); mirror the deterministic llen
+                # update host-side and refuse before a local log overflows
+                # (parallel/cp_cache.py placement rules)
+                t_local = max(T // self.cp, 1)
+                s_local = self.engine_config.max_seq_len // self.cp
+                llen_host = llen_host + np.clip(
+                    chunk_lens[:, None]
+                    - np.arange(self.cp)[None, :] * t_local, 0, t_local)
+                if (llen_host > s_local).any():
+                    raise ValueError(
+                        f"cp={self.cp}: a rank's local KV log would exceed "
+                        f"its {s_local}-row capacity (ragged chunked "
+                        "prefill skews fills toward rank 0); raise "
+                        "max_seq_len or prefill in fewer, larger chunks")
 
             q_start = self.cache.lengths
             kv_hi_r = (kv_hi if kv_hi is not None
