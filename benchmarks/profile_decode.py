@@ -13,7 +13,7 @@ Any spread between the three is scan/fusion/invocation overhead, which is
 exactly what a per-op table cannot see. All timing uses one lax.scan per
 measurement (single host dispatch — tunnel RTT excluded; bench_ops.py).
 
-Run on the chip:  python benchmarks/profile_decode.py | tee docs/profile_decode_r03.log
+Run on the chip:  python benchmarks/profile_decode.py | tee docs/profile_decode_r04.log
 """
 
 from __future__ import annotations
@@ -37,8 +37,36 @@ QUANT = "int4"
 BATCH = 8
 CTX = 416            # bench.py's mean context during timing
 MAX_SEQ = 1024
-KV_HI = 512          # engine watermark for CTX (engine.py:_kv_watermark)
-ITERS = 32
+ITERS = 1024
+
+# One host dispatch + D2H fence over the axon tunnel costs ~33 ms
+# (measured r4: a 1024-iter trivial scan and a 32-iter one both total
+# 33.4 ms). Every timing below therefore (a) runs >=1024 iterations per
+# dispatch and (b) subtracts this measured round-trip baseline — without
+# both, sub-100us ops read as ~1 ms and the full-step number inflates ~6%.
+_RTT = [0.0]
+
+
+def _measure_rtt():
+    x = jnp.ones((8, 128), jnp.float32)
+
+    @jax.jit
+    def null_loop(c):
+        def body(c, _):
+            return c * 1.000001, None
+        out, _ = jax.lax.scan(body, c, None, length=ITERS)
+        return out
+
+    out = null_loop(x)
+    _ = np.asarray(out.ravel()[0])
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = null_loop(out)
+        _ = np.asarray(out.ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    _RTT[0] = best
+    return best
 
 
 def timeit_scan(step, carry0, iters=ITERS, repeats=3, donate=False):
@@ -61,7 +89,7 @@ def timeit_scan(step, carry0, iters=ITERS, repeats=3, donate=False):
         out = loop(out if donate else carry0)
         _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
         best = min(best, time.perf_counter() - t0)
-    return best / iters, out
+    return max(best - _RTT[0], 1e-9 * iters) / iters, out
 
 
 def main():
@@ -70,6 +98,8 @@ def main():
     ap.add_argument("--ctx", type=int, default=CTX)
     args = ap.parse_args()
     B, ctx = args.batch, args.ctx
+    if ctx >= MAX_SEQ:
+        ap.error(f"--ctx {ctx} must be < max_seq {MAX_SEQ}")
 
     from llm_inference_engine_tpu.config import EngineConfig, get_config
     from llm_inference_engine_tpu.models import llama as llama_model
@@ -91,8 +121,15 @@ def main():
     cfg = get_config(MODEL)
     eng = EngineConfig(max_batch_size=B, max_seq_len=MAX_SEQ,
                        quant_mode=QUANT)
+    # same watermark rule as engine.py:_kv_watermark (ADVICE r3: KV_HI must
+    # follow --ctx, not stay pinned at the default ctx's 512)
+    bucket = max(256, eng.block_kv)
+    KV_HI = int(min(MAX_SEQ, -(-(ctx + 1) // bucket) * bucket))
+    rtt = _measure_rtt()
     print(f"# profile_decode — {MODEL} {QUANT} B={B} ctx={ctx} "
-          f"kv_hi={KV_HI} backend={jax.default_backend()}", flush=True)
+          f"kv_hi={KV_HI} backend={jax.default_backend()} "
+          f"tunnel_rtt={rtt*1e3:.2f}ms (subtracted; {ITERS} iters/dispatch)",
+          flush=True)
 
     params = init_dummy_quantized_params(cfg, mode=QUANT, seed=0)
     L, Hd = cfg.num_layers, cfg.hidden_size
@@ -261,7 +298,7 @@ def main():
         toks = engine.decode_rollout(toks[-1], 64)
         _ = np.asarray(toks[-1])
         best = min(best, time.perf_counter() - t0)
-    dt_step = best / 64
+    dt_step = (best - _RTT[0]) / 64
 
     # ---- reconciliation -------------------------------------------------
     per_op_layer = sum(dt * c for name, dt, c, _ in rows

@@ -595,8 +595,12 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor,
                     + 2 * bm_c * bk * 2
                     + 2 * bm_c * bn_c * out_bytes
                     + bm_c * bn_c * 4) <= 14 * 1024 * 1024
-        while (not fits(bm, bn) and bm % 16 == 0 and m % bm == 0
-               and bm > 8):
+        # bm may shrink independently of m-divisibility: the grid is
+        # cdiv(m, bm) and the kernel discards the ragged last M block's
+        # tail rows (ADVICE r3: requiring m % bm == 0 here dropped the
+        # whole plan for ragged-m shapes over the VMEM budget — a silent
+        # XLA-fallback perf cliff)
+        while not fits(bm, bn) and bm > 8 and bm % 16 == 0:
             bm //= 2
         for cand in range(bn + 128, min(n, 8192) + 1, 128):
             if n % cand == 0 and fits(bm, cand):
