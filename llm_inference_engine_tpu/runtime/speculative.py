@@ -78,16 +78,49 @@ class SpeculativeDecoder:
         dcfg, deng = draft.config, draft.engine_config
         k = num_draft
 
-        @functools.partial(jax.jit, donate_argnums=(1, 3),
+        from llm_inference_engine_tpu.ops.sampling import apply_penalties
+
+        def _pen(logits, counts_ctx, counts_gen, rep, pres, freq):
+            """Frozen-counts penalties: [B, V] or per-position [B, T, V]
+            logits against the SAME [B, V] counts (the round-start
+            snapshot). Neutral (1, 0, 0) params are an exact identity."""
+            if logits.ndim == 2:
+                return apply_penalties(logits, counts_ctx, counts_gen,
+                                       rep, pres, freq)
+            return jax.vmap(
+                lambda lg: apply_penalties(lg, counts_ctx, counts_gen,
+                                           rep, pres, freq),
+                in_axes=1, out_axes=1)(logits)
+
+        def _count_emitted(counts_ctx, counts_gen, emitted, n_acc, done):
+            """Fold the round's accepted tokens (incl. the bonus) into the
+            occurrence counts — the engine's per-token counting, batched
+            per round (counts stay frozen WITHIN a round by design)."""
+            B = emitted.shape[0]
+            valid = ((jnp.arange(emitted.shape[1])[None, :]
+                      <= n_acc[:, None]) & ~done[:, None]).astype(jnp.int32)
+            rows = jnp.arange(B)[:, None]
+            return (counts_ctx.at[rows, emitted].add(valid),
+                    counts_gen.at[rows, emitted].add(valid))
+
+        @functools.partial(jax.jit, donate_argnums=(1, 3, 6, 7),
                            static_argnames=("kv_hi_t", "kv_hi_d"))
         def _round(t_params, t_cache, d_params, d_cache, last, done,
+                   counts_ctx, counts_gen, rep, pres, freq,
                    kv_hi_t=None, kv_hi_d=None):
             """One whole speculative round ON DEVICE — draft k greedy
             tokens (lax.scan), verify with the target, compute greedy
             acceptance, and rewind both caches to the accepted frontier.
             The host sees exactly one call (and one transfer) per round;
             the previous draft-step loop paid a host round-trip per
-            drafted token."""
+            drafted token.
+
+            Logit penalties run with counts FROZEN at round start (the
+            only well-defined block-verify semantics: every drafted and
+            verified position sees the same counts; accepted tokens enter
+            the counts between rounds — so penalties lag a sequential
+            decode by at most k tokens). Draft and target are penalized
+            identically, keeping acceptance meaningful."""
             B = last.shape[0]
             t_len = t_cache.lengths
             d_len = d_cache.lengths
@@ -99,6 +132,8 @@ class SpeculativeDecoder:
                 logits, cache = llama_model.forward_hidden(
                     dcfg, deng, d_params, tok[:, None], cache, qs, qs + 1,
                     kv_hi=kv_hi_d)
+                logits = _pen(logits, counts_ctx, counts_gen, rep, pres,
+                              freq)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return (cache, nxt), nxt
 
@@ -111,6 +146,7 @@ class SpeculativeDecoder:
             logits, t_cache = llama_model.forward_all_logits(
                 tcfg, teng, t_params, block, t_cache, t_len,
                 t_len + (k + 1), kv_hi=kv_hi_t)
+            logits = _pen(logits, counts_ctx, counts_gen, rep, pres, freq)
             tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, k+1]
 
             # --- greedy acceptance: longest matching draft prefix ---
@@ -156,13 +192,17 @@ class SpeculativeDecoder:
             # sequence fully accepted (the common case at low acceptance)
             d_cache = jax.lax.cond(jnp.any(full), ingest, lambda c: c,
                                    d_cache)
-            return emitted, emitted_lp, n_acc, t_cache, d_cache
+            counts_ctx, counts_gen = _count_emitted(
+                counts_ctx, counts_gen, emitted, n_acc, done)
+            return (emitted, emitted_lp, n_acc, t_cache, d_cache,
+                    counts_ctx, counts_gen)
 
         self._round = _round
 
-        @functools.partial(jax.jit, donate_argnums=(1, 3),
+        @functools.partial(jax.jit, donate_argnums=(1, 3, 6, 7),
                            static_argnames=("kv_hi_t", "kv_hi_d"))
         def _round_sampled(t_params, t_cache, d_params, d_cache, last, done,
+                           counts_ctx, counts_gen, rep, pres, freq,
                            key, temp, topk, topp, minp,
                            kv_hi_t=None, kv_hi_d=None):
             """One stochastic speculative round ON DEVICE: draft k sampled
@@ -170,7 +210,12 @@ class SpeculativeDecoder:
             with one target forward (processed distributions p), apply the
             rejection-sampling acceptance rule, and rewind both caches.
             Per-slot sampling params [B] — greedy slots (temp<=0) get
-            one-hot p/q and reduce exactly to the greedy rule."""
+            one-hot p/q and reduce exactly to the greedy rule.
+
+            Penalties use counts FROZEN at round start (see _round), and
+            both q and p are penalized with the same snapshot — so the
+            rejection rule stays LOSSLESS with respect to the
+            frozen-penalized target distribution."""
             from llm_inference_engine_tpu.ops.sampling import (
                 processed_probs, sample_tokens, speculative_accept)
             B = last.shape[0]
@@ -185,6 +230,8 @@ class SpeculativeDecoder:
                 logits, cache = llama_model.forward_hidden(
                     dcfg, deng, d_params, tok[:, None], cache, qs, qs + 1,
                     kv_hi=kv_hi_d)
+                logits = _pen(logits, counts_ctx, counts_gen, rep, pres,
+                              freq)
                 qp = processed_probs(logits, temp, topk, topp, minp)
                 nxt = sample_tokens(logits, kstep, temp, topk, topp, minp)
                 return (cache, nxt), (nxt, qp)
@@ -199,6 +246,7 @@ class SpeculativeDecoder:
             logits, t_cache = llama_model.forward_all_logits(
                 tcfg, teng, t_params, block, t_cache, t_len,
                 t_len + (k + 1), kv_hi=kv_hi_t)              # [B, k+1, V]
+            logits = _pen(logits, counts_ctx, counts_gen, rep, pres, freq)
             bcast = lambda a: jnp.broadcast_to(a[:, None], (B, k + 1))
             p_probs = processed_probs(logits, bcast(temp), bcast(topk),
                                       bcast(topp), bcast(minp))
@@ -206,9 +254,10 @@ class SpeculativeDecoder:
             emitted, n_acc = speculative_accept(draft_toks, q_probs,
                                                 p_probs, key_acc)
 
-            # log P(emitted) under the target's RAW distribution at each
-            # position (what the logprobs API reports — same convention as
-            # the engine's decode path)
+            # log P(emitted) under the target's post-penalty,
+            # pre-temperature distribution at each position (same
+            # convention as the engine's decode path: token_logprobs over
+            # _penalized logits)
             lf = logits.astype(jnp.float32)
             lse = jax.scipy.special.logsumexp(lf, axis=-1)
             picked = jnp.take_along_axis(lf, emitted[..., None],
@@ -233,7 +282,10 @@ class SpeculativeDecoder:
 
             d_cache = jax.lax.cond(jnp.any(full), ingest, lambda c: c,
                                    d_cache)
-            return emitted, emitted_lp, n_acc, t_cache, d_cache
+            counts_ctx, counts_gen = _count_emitted(
+                counts_ctx, counts_gen, emitted, n_acc, done)
+            return (emitted, emitted_lp, n_acc, t_cache, d_cache,
+                    counts_ctx, counts_gen)
 
         self._round_sampled = _round_sampled
 
@@ -244,37 +296,54 @@ class SpeculativeDecoder:
         """Speculative generation (batch = number of prompts; all slots
         draft/verify in lockstep). ``sampling=None`` (or greedy) runs the
         exact greedy round; otherwise the stochastic rejection-sampling
-        round — lossless in distribution (penalties are not supported:
-        their counts evolve inside the drafted block)."""
+        round — lossless in distribution. Logit penalties apply with
+        counts frozen at each round's start (identically to draft and
+        target, so sampled rounds stay lossless w.r.t. the
+        frozen-penalized target); accepted tokens enter the counts
+        between rounds, so penalties lag sequential decode by < k+1
+        tokens."""
         B = self.target.engine_config.max_batch_size
         nseq = len(prompts)
         assert nseq <= B and nseq <= self.draft.engine_config.max_batch_size
         do_sample = sampling is not None and not sampling.greedy \
             and sampling.temperature > 0.0
-        if sampling is not None and (sampling.repetition_penalty != 1.0
-                                     or sampling.presence_penalty != 0.0
-                                     or sampling.frequency_penalty != 0.0):
-            raise ValueError("speculative decoding does not support logit "
-                             "penalties (counts evolve inside the drafted "
-                             "block)")
         if do_sample:
             samp = (jnp.full((B,), sampling.temperature, jnp.float32),
                     jnp.full((B,), sampling.top_k, jnp.int32),
                     jnp.full((B,), sampling.top_p, jnp.float32),
                     jnp.full((B,), sampling.min_p, jnp.float32))
+        # logit penalties run with counts frozen per round (_round /
+        # _round_sampled); neutral values are an exact identity
+        sp_pen = sampling or SamplingParams()
+        pen = (jnp.full((B,), sp_pen.repetition_penalty, jnp.float32),
+               jnp.full((B,), sp_pen.presence_penalty, jnp.float32),
+               jnp.full((B,), sp_pen.frequency_penalty, jnp.float32))
+        V = self.target.config.vocab_size
+        cc_host = np.zeros((B, V), np.int32)
+        for i, p in enumerate(prompts):
+            np.add.at(cc_host[i], np.asarray(p, np.int64), 1)
+        counts_ctx = jnp.asarray(cc_host)
+        counts_gen = jnp.zeros((B, V), jnp.int32)
 
         self.target.reset()
         self.draft.reset()
         t_logits = self.target.prefill(prompts)
         self.draft.prefill(prompts)
 
-        # first token comes from the target's prefill logits
+        # first token comes from the target's prefill logits (penalized
+        # against the prompt counts, like the engine's first sample)
+        from llm_inference_engine_tpu.ops.sampling import apply_penalties
+        t_logits = apply_penalties(t_logits, counts_ctx, counts_gen, *pen)
         if do_sample:
             self._key, sub = jax.random.split(self._key)
             from llm_inference_engine_tpu.ops.sampling import sample_tokens
             last = np.asarray(sample_tokens(t_logits, sub, *samp))
         else:
             last = np.asarray(jnp.argmax(t_logits, axis=-1).astype(jnp.int32))
+        first_valid = np.zeros((B,), np.int32)
+        first_valid[:nseq] = 1
+        counts_ctx = counts_ctx.at[np.arange(B), last].add(first_valid)
+        counts_gen = counts_gen.at[np.arange(B), last].add(first_valid)
         out = [[int(last[i])] for i in range(nseq)]
         done = np.zeros((B,), bool)
         done[nseq:] = True
@@ -300,18 +369,20 @@ class SpeculativeDecoder:
             kv_hi_d = self.draft._kv_watermark(t_len, self.k + 1)
             if do_sample:
                 self._key, sub = jax.random.split(self._key)
-                emitted, _, n_acc, self.target.cache, self.draft.cache = \
-                    self._round_sampled(
-                        self.target.params, self.target.cache,
-                        self.draft.params, self.draft.cache,
-                        jnp.asarray(last), jnp.asarray(done), sub, *samp,
-                        kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
-            else:
-                emitted, _, n_acc, self.target.cache, self.draft.cache = \
-                    self._round(
+                (emitted, _, n_acc, self.target.cache, self.draft.cache,
+                 counts_ctx, counts_gen) = self._round_sampled(
                         self.target.params, self.target.cache,
                         self.draft.params, self.draft.cache,
                         jnp.asarray(last), jnp.asarray(done),
+                        counts_ctx, counts_gen, *pen, sub, *samp,
+                        kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
+            else:
+                (emitted, _, n_acc, self.target.cache, self.draft.cache,
+                 counts_ctx, counts_gen) = self._round(
+                        self.target.params, self.target.cache,
+                        self.draft.params, self.draft.cache,
+                        jnp.asarray(last), jnp.asarray(done),
+                        counts_ctx, counts_gen, *pen,
                         kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
             emitted = np.asarray(emitted)           # [B, k+1]
             n_acc = np.asarray(n_acc)

@@ -20,9 +20,12 @@ Sampled and greedy requests both run (one stochastic round serves a mixed
 batch: each slot's processed p/q distributions carry its own
 temperature/top-k/top-p/min-p, and greedy slots degenerate to one-hot —
 ops/sampling.speculative_accept is lossless in distribution either way).
-Logit penalties are rejected: their counts evolve token-by-token inside
-the drafted block, so a penalized per-position p is not well-defined for
-a block verify. Near the sequence cap a slot needs k+2 rows of headroom
+Logit penalties run with counts FROZEN at each round's start (the only
+well-defined block-verify semantics: draft and target see the same
+counts at every position, so acceptance stays lossless w.r.t. the
+frozen-penalized target; accepted tokens enter the engine's counts
+between rounds, lagging sequential decode by < k+1 tokens).
+Near the sequence cap a slot needs k+2 rows of headroom
 per round, so requests finish with reason 'capacity' slightly earlier
 than the plain scheduler would. Prefix caching works through PAIRED
 snapshots restored into both caches (prefix_cache.DualPrefixStore)."""
@@ -62,20 +65,6 @@ class SpeculativeScheduler(ContinuousBatchingScheduler):
     @property
     def acceptance_rate(self) -> float:
         return self.num_accepted / max(self.num_drafted, 1)
-
-    def submit(self, prompt_ids: Sequence[int],
-               sampling: SamplingParams = SamplingParams(),
-               stream_callback=None) -> Request:
-        penalized = (sampling.repetition_penalty != 1.0
-                     or sampling.presence_penalty != 0.0
-                     or sampling.frequency_penalty != 0.0)
-        if penalized:
-            raise ValueError(
-                "SpeculativeScheduler does not support logit penalties "
-                "(their counts evolve inside the drafted block, so a "
-                "penalized per-position target distribution is not "
-                "well-defined for a block verify)")
-        return super().submit(prompt_ids, sampling, stream_callback)
 
     def register_prefix(self, tokens):
         """Prefix caching under speculative scheduling: snapshots are
@@ -122,20 +111,28 @@ class SpeculativeScheduler(ContinuousBatchingScheduler):
         kv_hi_t = target._kv_watermark(t_len, k + 2)
         kv_hi_d = draft._kv_watermark(
             np.asarray(jax.device_get(draft.cache.lengths)), k + 2)
+        # penalties: the engine's per-slot occurrence counts (maintained
+        # by admissions/prefill/seed_counts) enter the round frozen and
+        # come back extended with this round's accepted tokens
+        pen = (jnp.asarray(self._rep), jnp.asarray(self._pres),
+               jnp.asarray(self._freq))
         if (self._temp[active] <= 0.0).all():
             # all-greedy batch: the cheaper exact-argmax round (no [B,k,V]
             # distribution materialization)
-            emitted, emitted_lp, n_acc, target.cache, draft.cache = \
-                self._spec._round(
+            (emitted, emitted_lp, n_acc, target.cache, draft.cache,
+             target._counts_ctx, target._counts_gen) = self._spec._round(
                     target.params, target.cache, draft.params, draft.cache,
                     jnp.asarray(self._last_token), jnp.asarray(~active),
+                    target._counts_ctx, target._counts_gen, *pen,
                     kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)
         else:
             self._spec._key, sub = jax.random.split(self._spec._key)
-            emitted, emitted_lp, n_acc, target.cache, draft.cache = \
+            (emitted, emitted_lp, n_acc, target.cache, draft.cache,
+             target._counts_ctx, target._counts_gen) = \
                 self._spec._round_sampled(
                     target.params, target.cache, draft.params, draft.cache,
                     jnp.asarray(self._last_token), jnp.asarray(~active),
+                    target._counts_ctx, target._counts_gen, *pen,
                     sub, jnp.asarray(self._temp), jnp.asarray(self._topk),
                     jnp.asarray(self._topp), jnp.asarray(self._minp),
                     kv_hi_t=kv_hi_t, kv_hi_d=kv_hi_d)

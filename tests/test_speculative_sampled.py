@@ -202,12 +202,113 @@ def test_sampled_spec_identical_models_accept_all():
     assert res.num_accepted == res.num_drafted
 
 
-def test_sampled_spec_penalties_rejected():
-    target, draft = _engines()
-    spec = SpeculativeDecoder(target, draft, num_draft=2)
-    with pytest.raises(ValueError, match="penalties"):
-        spec.generate([[1, 2]], sampling=SamplingParams(
-            temperature=0.7, repetition_penalty=1.3))
+def _ref_frozen_greedy(params, prompts, k, total, sp, B, seq=96):
+    """Reference for the frozen-counts penalty semantics: sequential
+    greedy decode where the penalty counts refresh only at speculative
+    round boundaries (after the prefill token, then every k+1 tokens) —
+    exactly what a full-acceptance draft==target round produces."""
+    import dataclasses
+    from llm_inference_engine_tpu.models import llama as M
+    from llm_inference_engine_tpu.ops import kv_cache as kvc
+    from llm_inference_engine_tpu.ops.sampling import apply_penalties
+
+    eng = EngineConfig(max_batch_size=B, max_seq_len=seq, kernels="xla")
+    V = CFG.vocab_size
+    T = max(len(p) for p in prompts)
+    ids = np.zeros((B, T), np.int32)
+    lens = np.zeros((B,), np.int32)
+    for i, p in enumerate(prompts):
+        ids[i, :len(p)] = p
+        lens[i] = len(p)
+    cache = kvc.new_kv_cache(CFG.num_layers, B, CFG.num_kv_heads, seq,
+                             CFG.head_dim, dtype=CFG.dtype)
+    logits, cache = M.forward_hidden(CFG, eng, params, jnp.asarray(ids),
+                                     cache, jnp.zeros((B,), jnp.int32),
+                                     jnp.asarray(lens))
+    cache = dataclasses.replace(cache, lengths=jnp.asarray(lens))
+
+    cc = np.zeros((B, V), np.int32)
+    cg = np.zeros((B, V), np.int32)
+    for i, p in enumerate(prompts):
+        np.add.at(cc[i], np.asarray(p, np.int64), 1)
+    rep = jnp.full((B,), sp.repetition_penalty, jnp.float32)
+    pres = jnp.full((B,), sp.presence_penalty, jnp.float32)
+    freq = jnp.full((B,), sp.frequency_penalty, jnp.float32)
+
+    def pick(lg, fc, fg):
+        pl = apply_penalties(lg, jnp.asarray(fc), jnp.asarray(fg),
+                             rep, pres, freq)
+        return np.asarray(jnp.argmax(pl, -1).astype(jnp.int32))
+
+    last = pick(logits, cc, cg)                       # prefill token
+    np.add.at(cc, (np.arange(B), last), 1)
+    np.add.at(cg, (np.arange(B), last), 1)
+    out = [[int(last[i])] for i in range(B)]
+    frozen_c, frozen_g = cc.copy(), cg.copy()         # round 1 snapshot
+    for step in range(total - 1):
+        if step % (k + 1) == 0:
+            frozen_c, frozen_g = cc.copy(), cg.copy()
+        ln = cache.lengths
+        logits, cache = M.forward_hidden(CFG, eng, params,
+                                         jnp.asarray(last)[:, None], cache,
+                                         ln, ln + 1)
+        cache = dataclasses.replace(cache, lengths=ln + 1)
+        last = pick(logits, frozen_c, frozen_g)
+        np.add.at(cc, (np.arange(B), last), 1)
+        np.add.at(cg, (np.arange(B), last), 1)
+        for i in range(B):
+            out[i].append(int(last[i]))
+    return out
+
+
+def test_spec_penalties_frozen_semantics_greedy():
+    """VERDICT r3 #8: penalties with counts frozen at round start. With
+    draft == target every greedy round fully accepts (both argmax chains
+    run under the SAME frozen counts), so the emitted stream must equal
+    a sequential greedy decode whose counts refresh every k+1 tokens."""
+    k, total = 3, 12
+    sp = SamplingParams(greedy=True, repetition_penalty=1.4,
+                        presence_penalty=0.3, frequency_penalty=0.2,
+                        max_new_tokens=total)
+    params = init_dummy_params(CFG, seed=0, scale=0.3)
+    prompts = [[1, 17, 93, 5], [1, 9, 41]]
+    want = _ref_frozen_greedy(params, prompts, k, total, sp, B=2)
+
+    eng = EngineConfig(max_batch_size=2, max_seq_len=96, kernels="xla")
+    target = InferenceEngine(CFG, eng, params)
+    draft = InferenceEngine(CFG, eng, params)      # same model
+    spec = SpeculativeDecoder(target, draft, num_draft=k)
+    got = spec.generate(prompts, max_new_tokens=total, eos_token_id=None,
+                        sampling=sp)
+    assert got.token_ids == want
+    assert got.num_accepted == got.num_drafted     # full acceptance
+
+
+def test_spec_penalties_effective_and_lossless_shape():
+    """A near-uniform model (tiny weight scale) repeats itself under
+    neutral greedy decoding; a strong presence penalty through the
+    speculative rounds must forbid every repeat. Then a penalized sampled
+    round must run end-to-end with in-vocab output."""
+    params = init_dummy_params(CFG, seed=0, scale=0.02)
+    eng = EngineConfig(max_batch_size=1, max_seq_len=96, kernels="xla")
+
+    def gen(sp):
+        t = InferenceEngine(CFG, eng, params)
+        d = InferenceEngine(CFG, eng, init_dummy_params(CFG, seed=5,
+                                                        scale=0.02))
+        return SpeculativeDecoder(t, d, num_draft=2).generate(
+            [[1, 2, 3]], max_new_tokens=14, eos_token_id=None, sampling=sp)
+
+    neutral = gen(SamplingParams(greedy=True, max_new_tokens=14))
+    assert len(set(neutral.token_ids[0])) < 14      # it does repeat
+    pen = gen(SamplingParams(greedy=True, presence_penalty=50.0,
+                             max_new_tokens=14))
+    assert len(set(pen.token_ids[0])) == 14         # penalty forbids it
+    # penalized sampled round: runs end-to-end, in-vocab output
+    samp = gen(SamplingParams(temperature=0.8, top_k=16,
+                              repetition_penalty=1.3, presence_penalty=0.4))
+    assert len(samp.token_ids[0]) == 14
+    assert all(0 <= t < CFG.vocab_size for t in samp.token_ids[0])
 
 
 def test_scheduler_accepts_sampled_requests():
@@ -239,7 +340,9 @@ def test_scheduler_accepts_sampled_requests():
     assert len(r_samp.output_ids) == 10
     assert len(r_samp2.output_ids) == 8
     assert all(0 <= t < CFG.vocab_size for t in r_samp.output_ids)
-    # penalties still rejected on the scheduler
-    with pytest.raises(ValueError, match="penalties"):
-        sched.submit([1], SamplingParams(temperature=0.7,
-                                         presence_penalty=0.5))
+    # penalized submissions run too (frozen-counts round semantics)
+    r_pen = sched.submit([1], SamplingParams(temperature=0.7,
+                                             presence_penalty=0.5,
+                                             max_new_tokens=6))
+    sched.run()
+    assert r_pen.finished and len(r_pen.output_ids) == 6

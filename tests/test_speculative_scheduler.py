@@ -72,17 +72,19 @@ def test_spec_scheduler_chunked_admission_mixes_with_rounds():
     assert b.output_ids == b0.output_ids
 
 
-def test_spec_scheduler_rejects_penalties_only():
+def test_spec_scheduler_sampled_and_penalized_requests_run():
     """Sampled submissions are accepted (stochastic acceptance rule,
-    tests/test_speculative_sampled.py); logit penalties remain rejected."""
+    tests/test_speculative_sampled.py), and penalized submissions run
+    under the frozen-counts round semantics (VERDICT r3 #8)."""
     spec = SpeculativeScheduler(_engine(), _engine(), eos_token_id=None)
-    with pytest.raises(ValueError, match="penalties"):
-        spec.submit([1, 2, 3], SamplingParams(temperature=0.8,
-                                              frequency_penalty=0.2))
+    r_pen = spec.submit([1, 2, 3], SamplingParams(temperature=0.8,
+                                                  frequency_penalty=0.2,
+                                                  max_new_tokens=5))
     r = spec.submit([1, 2, 3], SamplingParams(temperature=0.8,
                                               max_new_tokens=6))
     spec.run(max_steps=500)
     assert r.finished and len(r.output_ids) == 6
+    assert r_pen.finished and len(r_pen.output_ids) == 5
 
 
 def test_spec_scheduler_eos_and_capacity():
