@@ -69,24 +69,32 @@ def _measure_rtt():
     return best
 
 
-def timeit_scan(step, carry0, iters=ITERS, repeats=3, donate=False):
+def timeit_scan(step, carry0, consts=(), iters=ITERS, repeats=3,
+                donate=False):
     """``donate=True`` donates and re-threads the carry call-to-call:
     multi-GB cache carries would otherwise hold input+output copies alive
     at once (OOM next to the 7B weights on a 16 GB chip). Donated inputs
-    are consumed — callers must not reuse them afterwards."""
+    are consumed — callers must not reuse them afterwards.
+
+    ``consts``: large read-only arrays (stacked weights) the step needs.
+    They MUST be arguments, not closures — jit embeds closed-over arrays
+    as literal constants in the program, and the serialized module then
+    carries the bytes (hundreds of MB for 7B weight stacks), which hangs
+    the remote AOT compile over the tunnel. KB-sized closures are fine.
+    """
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def loop(c):
+    def loop(c, *cs):
         def body(c, _):
-            return step(c), None
+            return step(c, *cs), None
         out, _ = jax.lax.scan(body, c, None, length=iters)
         return out
 
-    out = loop(carry0)
+    out = loop(carry0, *consts)
     _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = loop(out if donate else carry0)
+        out = loop(out if donate else carry0, *consts)
         _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
         best = min(best, time.perf_counter() - t0)
     return max(best - _RTT[0], 1e-9 * iters) / iters, out
@@ -173,15 +181,15 @@ def main():
     def mm_stacked(name, x_in, out_slice):
         t = lay[name]
 
-        def step(c):
+        def step(c, t_):
             x, i = c
-            y = linear(x, t, kernels=kernels, layer=i % L)
+            y = linear(x, t_, kernels=kernels, layer=i % L)
             y2 = y.reshape(B, 1, -1)
             w = min(y2.shape[-1], x.shape[-1])
             return (x.at[..., :w].add(
                 y2[..., :w].astype(x.dtype) * jnp.bfloat16(1e-8)), i + 1)
 
-        dt, _o = timeit_scan(step, (x_in, jnp.int32(0)))
+        dt, _o = timeit_scan(step, (x_in, jnp.int32(0)), consts=(t,))
         add(name, dt, L, qbytes(t) + x_in.nbytes + out_slice * B * 2)
         return dt
 
@@ -240,17 +248,16 @@ def main():
 
     # ---- fixed tail ----------------------------------------------------
     ids = jnp.zeros((B, 1), jnp.int32)
-    dt, _o = timeit_scan(lambda c: embedding_lookup(
-        params["embed"], ids, kernels=kernels).astype(jnp.bfloat16)
-        * jnp.bfloat16(1e-8) + c, x0)
+    dt, _o = timeit_scan(lambda c, emb: embedding_lookup(
+        emb, ids, kernels=kernels).astype(jnp.bfloat16)
+        * jnp.bfloat16(1e-8) + c, x0, consts=(params["embed"],))
     add("embedding", dt, 1, B * Hd * 2)
 
     xh = x0[:, 0]
-    def lm_step(c):
-        y = linear(c, params["lm_head"], out_dtype=jnp.float32,
-                   kernels=kernels)
+    def lm_step(c, w):
+        y = linear(c, w, out_dtype=jnp.float32, kernels=kernels)
         return c + y[:, :Hd].astype(c.dtype) * jnp.bfloat16(1e-8)
-    dt, _o = timeit_scan(lm_step, xh)
+    dt, _o = timeit_scan(lm_step, xh, consts=(params["lm_head"],))
     lmb = (qbytes(params["lm_head"]) * L if isinstance(
         params["lm_head"], QuantizedTensor) else params["lm_head"].nbytes)
     add("lm_head", dt, 1, lmb + B * cfg.vocab_size * 4)
@@ -265,11 +272,11 @@ def main():
                  if not isinstance(v, QuantizedTensor)}
     stacked = {k: v for k, v in lay.items() if isinstance(v, QuantizedTensor)}
 
-    def layer_step(c):
+    def layer_step(c, xs_l, stacked_):
         x, kc, vc, i = c
         li = i % L
-        layer = {k: v[li] for k, v in xs_layers.items()}
-        layer["__stacked__"] = stacked
+        layer = {k: v[li] for k, v in xs_l.items()}
+        layer["__stacked__"] = stacked_
         cc = kvc.KVCache(kc, vc, q_start)
         x_out, cc = llama_model._layer_step(
             cfg, eng, x, layer, li, cc, positions, q_start, kv_len,
@@ -277,7 +284,8 @@ def main():
         return (x_out, cc.k, cc.v, i + 1)
 
     dt_layer, out = timeit_scan(
-        layer_step, (x0 + 0, ck, cv, jnp.int32(0)), donate=True)
+        layer_step, (x0 + 0, ck, cv, jnp.int32(0)),
+        consts=(xs_layers, stacked), donate=True)
     del ck, cv, out
     add("LAYER_IN_SITU", dt_layer, L, 0)
 
