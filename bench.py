@@ -9,12 +9,20 @@ roofline achieved: a weight-only-quantized decode step is bound by
 streaming the weights + KV cache once per token; roofline tok/s =
 batch / (bytes_moved / HBM_BW).
 
-Decode runs as a device-side lax.scan rollout (one host call per N tokens)
-so tunnel/host latency is excluded from the kernel measurement.
+Measurement: two device-side rollouts of different lengths from the SAME
+start state, dt = (t_long - t_short) / (steps_long - steps_short). The
+differencing cancels the host<->device round trip (~30 ms over the axon
+tunnel — measured r4; inside r1-r3's single 64-step window it inflated
+the per-step time by ~6%, docs/profile_decode_r04.log) and any other
+fixed per-call overhead. Both rollouts run the same compiled program
+(same static kv watermark), so the difference is purely the marginal
+decode steps. The roofline's KV term uses the mean context of exactly
+the differenced steps — not a guessed window.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -27,7 +35,8 @@ QUANT = "int4"
 BATCH = 8
 PROMPT_LEN = 128
 MAX_SEQ = 1024
-ROLLOUT = 64
+STEPS_LO = 64
+STEPS_HI = 320
 REPEATS = 3
 
 HBM_BW_BYTES = 819e9  # v5e: 819 GB/s
@@ -51,24 +60,38 @@ def main():
     logits = engine.prefill(prompts)
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # warmup (compile the rollout); NB: block_until_ready is unreliable over
-    # the axon tunnel — force a small D2H transfer to fence execution
-    toks = engine.decode_rollout(tokens, ROLLOUT)
-    _ = np.asarray(toks[-1])
+    # one static watermark covers the longest rollout: both measured
+    # program variants are IDENTICAL, so differencing isolates the steps
+    kv_hi = engine._kv_watermark(np.full((BATCH,), PROMPT_LEN), STEPS_HI)
 
-    best_dt = float("inf")
-    for _ in range(REPEATS):
-        last = toks[-1]
-        t0 = time.perf_counter()
-        toks = engine.decode_rollout(last, ROLLOUT)
-        _ = np.asarray(toks[-1])                     # execution fence
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    def rollout(n):
+        """n decode steps from ctx=PROMPT_LEN (lengths re-armed first —
+        a FRESH array each call: the cache is donated into the rollout,
+        which consumes the lengths buffer with it).
+        NB: block_until_ready is unreliable over the axon tunnel — a
+        small D2H transfer fences execution."""
+        engine.cache = dataclasses.replace(
+            engine.cache, lengths=jnp.full((BATCH,), PROMPT_LEN, jnp.int32))
+        toks, engine.cache = engine._rollout_fn(
+            engine.params, engine.cache, tokens, n, kv_hi=kv_hi)
+        return np.asarray(toks[-1])
 
-    tok_per_sec = BATCH * ROLLOUT / best_dt
+    best = {}
+    for n in (STEPS_LO, STEPS_HI):
+        _ = rollout(n)                                   # compile + warm
+        b = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _ = rollout(n)
+            b = min(b, time.perf_counter() - t0)
+        best[n] = b
+    dt = (best[STEPS_HI] - best[STEPS_LO]) / (STEPS_HI - STEPS_LO)
+    tok_per_sec = BATCH / dt
 
-    # roofline: weight bytes + avg KV-cache bytes read per step
+    # roofline: weight bytes + KV bytes at the differenced steps' mean
+    # context (steps STEPS_LO..STEPS_HI-1, ctx PROMPT_LEN+step)
     wbytes = param_bytes(params)
-    avg_ctx = PROMPT_LEN + ROLLOUT * (REPEATS + 1.5)      # mean during timing
+    avg_ctx = PROMPT_LEN + (STEPS_LO + STEPS_HI - 1) / 2
     kv_bytes = (cfg.num_layers * 2 * cfg.num_kv_heads * avg_ctx
                 * cfg.head_dim * jnp.dtype(cfg.dtype).itemsize * BATCH)
     step_time_roofline = (wbytes + kv_bytes) / HBM_BW_BYTES

@@ -67,8 +67,17 @@ def _silu_and_mul_pallas(gate_up, block_rows: int, interpret: bool):
 
 
 def silu_and_mul(gate_up: jax.Array, *, kernels: str = "auto") -> jax.Array:
-    """SwiGLU: silu(gate) * up over packed [..., 2*inter] input."""
-    if not use_pallas(kernels):
+    """SwiGLU: silu(gate) * up over packed [..., 2*inter] input.
+
+    Decode-sized token counts skip the Pallas kernel: at B*T<=64 the
+    elementwise math is ~0.5 MB and the launch costs ~12 us/layer
+    (profiled on chip, docs/profile_decode_r04.log — ~5% of the whole
+    decode step), while XLA fuses the slice+silu+mul into neighbors for
+    free. Same policy and threshold as ops/rope.py's decode fallback."""
+    tokens = 1
+    for d in gate_up.shape[:-1]:
+        tokens *= d
+    if not use_pallas(kernels) or tokens <= 64:
         return silu_and_mul_xla(gate_up)
     shape = gate_up.shape
     x2 = gate_up.reshape(-1, shape[-1])

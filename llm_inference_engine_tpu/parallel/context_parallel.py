@@ -73,8 +73,21 @@ def make_cp_mesh(cp: int, devices: Optional[Sequence[jax.Device]] = None
 def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
                           sm_scale: Optional[float] = None,
                           causal: bool = True,
-                          window: Optional[int] = None):
-    """Blockwise-attention partials of a query chunk vs ONE kv chunk.
+                          window: Optional[int] = None,
+                          block_kv: Optional[int] = 512):
+    """Online-softmax partials of a query chunk vs ONE kv chunk.
+
+    ``block_kv``: the kv chunk is processed in blocks of this many rows
+    with an online-softmax merge between blocks (lax.scan), so the
+    score working set is [B, K, G, Tq, block_kv] instead of the full
+    [B, K, G, Tq, Tk] (ADVICE r3: at production long-context shapes the
+    dense per-hop score tensor itself would not fit HBM — e.g. 128k over
+    8 chips is a 16k x 16k f32 score block per head). None (or
+    Tk <= block_kv) keeps the single-block dense path. VMEM/HBM note:
+    per block the compute holds one [B, K, G, Tq, block_kv] f32 score
+    tile plus the [B, Tq, H, D] f32 accumulator; XLA tiles both through
+    VMEM, so per-shard memory is O(Tq * block_kv) per head — independent
+    of the shard's total kv length.
 
     q:        [B, Tq, H, D]
     q_pos:    [B, Tq] int32   absolute position of each query row
@@ -91,6 +104,52 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
       l   [B, Tq, H]    f32 — sum_j exp(s_j - m)
     """
     B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    kv_pos_b = (kv_pos if kv_pos.ndim == 2
+                else jnp.broadcast_to(kv_pos[None, :], (B, Tk)))
+
+    if block_kv is None or Tk <= block_kv:
+        return _chunk_stats_dense(q, k, v, q_pos, kv_pos_b, kv_valid,
+                                  sm_scale=sm_scale, causal=causal,
+                                  window=window)
+
+    pad = (-Tk) % block_kv
+    if pad:
+        # padded rows are masked out through kv_valid=False (kv_pos pads
+        # with -1, which a causal mask alone would NOT exclude)
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kv_pos_b = jnp.pad(kv_pos_b, ((0, 0), (0, pad)),
+                           constant_values=-1)
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad)),
+                           constant_values=False)
+    nb = (Tk + pad) // block_kv
+
+    def blocks(x):                            # [B, nb*bk, ...] -> xs
+        return jnp.moveaxis(
+            x.reshape(B, nb, block_kv, *x.shape[2:]), 1, 0)
+
+    def body(carry, xs):
+        kb, vb, pb, valb = xs
+        a2, m2, l2 = _chunk_stats_dense(q, kb, vb, q_pos, pb, valb,
+                                        sm_scale=sm_scale, causal=causal,
+                                        window=window)
+        return merge_stats(*carry, a2, m2, l2), None
+
+    # neutral online-softmax element, derived from q so its axis-varying
+    # type matches the block outputs under shard_map's vma tracking
+    qf0 = q.astype(jnp.float32) * 0.0
+    init = (qf0, qf0[..., 0] + _NEG, qf0[..., 0])
+    (acc, m, l), _ = jax.lax.scan(
+        body, init, (blocks(k), blocks(v), blocks(kv_pos_b),
+                     blocks(kv_valid)))
+    return acc, m, l
+
+
+def _chunk_stats_dense(q, k, v, q_pos, kv_pos_b, kv_valid, *,
+                       sm_scale, causal, window):
+    """Single-block dense stats (see chunk_attention_stats)."""
+    B, Tq, H, D = q.shape
     K = k.shape[2]
     G = H // K
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
@@ -100,7 +159,6 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
     vf = v.astype(jnp.float32)
 
     s = jnp.einsum("bikgd,btkd->bkgit", qf, kf) * scale   # [B,K,G,Tq,Tk]
-    kv_pos_b = kv_pos if kv_pos.ndim == 2 else kv_pos[None, :]  # [B?, Tk]
     visible = kv_valid[:, None, :]                        # [B, 1, Tk]
     if causal:
         visible = visible & (kv_pos_b[:, None, :]

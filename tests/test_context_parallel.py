@@ -138,3 +138,54 @@ def test_merge_stats_associative_and_empty_safe():
         assert not np.any(np.isnan(np.asarray(x)))
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("causal,window", [(True, None), (True, 7),
+                                           (False, None)])
+def test_chunk_stats_blockwise_matches_dense(causal, window):
+    """The block_kv online-softmax loop (ADVICE r3: bounded score memory)
+    must be bit-for-bit-tolerance equal to the dense single-block path —
+    including ragged blocks, per-batch kv_pos, invalid rows, and windows."""
+    B, Tq, K, G, D, Tk = 2, 5, 2, 2, 8, 37          # Tk ragged vs block 8
+    H = K * G
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    q = _rand(keys[0], (B, Tq, H, D))
+    k = _rand(keys[1], (B, Tk, K, D))
+    v = _rand(keys[2], (B, Tk, K, D))
+    q_pos = jax.random.randint(keys[3], (B, Tq), 0, 50)
+    kv_pos = jax.random.randint(keys[4], (B, Tk), 0, 50)
+    kv_valid = kv_pos % 5 != 0                       # scattered invalids
+
+    dense = cp.chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid,
+                                     causal=causal, window=window,
+                                     block_kv=None)
+    blocked = cp.chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid,
+                                       causal=causal, window=window,
+                                       block_kv=8)
+    for a, b in zip(dense, blocked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_ring_prefill_parity_blockwise_inner():
+    """Ring attention with the blockwise inner loop engaged (block_kv
+    smaller than the per-rank chunk) still matches single-device flash."""
+    mesh = _mesh(4)
+    B, T, K, D = 2, 64, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = _rand(keys[0], (B, T, K, D))
+    k = _rand(keys[1], (B, T, K, D))
+    v = _rand(keys[2], (B, T, K, D))
+    q_start = jnp.zeros((B,), jnp.int32)
+    kv_len = jnp.array([T, T - 9], jnp.int32)
+
+    import functools
+    orig = cp.chunk_attention_stats
+    cp.chunk_attention_stats = functools.partial(orig, block_kv=8)
+    try:
+        got = cp.ring_prefill_sharded(mesh, q, k, v, q_start, kv_len)
+    finally:
+        cp.chunk_attention_stats = orig
+    want = attention_xla(q, k, v, q_start, kv_len, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
