@@ -37,7 +37,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from llm_inference_engine_tpu.config import SamplingParams
 
-__all__ = ["LLMServer", "main"]
+__all__ = ["LLMServer", "aggregate_metrics", "main"]
 
 _STEP_IDLE_SLEEP = 0.002
 
@@ -577,6 +577,46 @@ class _Handler(BaseHTTPRequestHandler):
             self.llm.request_cancel(pending)
             for _ in events:
                 pass
+
+
+def aggregate_metrics(texts) -> str:
+    """Fleet view of per-replica ``/metrics`` expositions (the DP-router
+    deployment: independent replicas behind a request router,
+    runtime/multihost_scheduler.RequestRouter /
+    docs/ADR-composition-matrix.md pairing 1).
+
+    Counters and resource gauges (inflight, queue depth, free pages)
+    ADD across replicas; ratio gauges (``*_rate``) average. TYPE lines
+    keep the first-seen declaration; metric order is first-seen."""
+    order: list[str] = []
+    types: dict[str, str] = {}
+    sums: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for text in texts:
+        for line in text.splitlines():
+            if line.startswith("# TYPE "):
+                _, _, name, mtype = line.split()
+                types.setdefault(name, mtype)
+                continue
+            if not line.strip() or line.startswith("#"):
+                continue
+            name, value = line.split()
+            if name not in sums:
+                order.append(name)
+                sums[name] = 0.0
+                counts[name] = 0
+            sums[name] += float(value)
+            counts[name] += 1
+    out = []
+    for name in order:
+        val = sums[name]
+        if name.endswith("_rate") and counts[name]:
+            val /= counts[name]
+        if name in types:
+            out.append(f"# TYPE {name} {types[name]}")
+        txt = f"{val:.6f}".rstrip("0").rstrip(".")
+        out.append(f"{name} {txt}")
+    return "\n".join(out) + "\n"
 
 
 def make_server(scheduler, tokenizer, template, model_name: str,

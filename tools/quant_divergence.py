@@ -32,7 +32,7 @@ Memory plan for one 16 GB chip: weights are synthesized per-tensor on host
 and only one variant's parameters ever live on device (fp bf16 is ~13.5 GB).
 
 Run: python tools/quant_divergence.py [--model llama2-7b] [--batch 4]
-     [--window 512] | tee docs/quant_divergence_r03.log
+     [--window 512] | tee docs/quant_divergence_r04.log
 """
 from __future__ import annotations
 

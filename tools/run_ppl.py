@@ -13,7 +13,7 @@ This is a thin entry point over ``llm_inference_engine_tpu.evals.ppl`` — the
 harness itself (windowed teacher-forced scoring, device-side NLL) lives
 there and is unit-tested; no checkpoint or corpus ships in this
 environment, so the committed quality evidence is the synthetic-statistics
-logits-divergence proxy (tools/quant_divergence.py, docs/quant_divergence_r03.log).
+logits-divergence proxy (tools/quant_divergence.py, docs/quant_divergence_r04.log).
 """
 import os
 import sys
