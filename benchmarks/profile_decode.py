@@ -286,8 +286,74 @@ def main():
     dt_layer, out = timeit_scan(
         layer_step, (x0 + 0, ck, cv, jnp.int32(0)),
         consts=(xs_layers, stacked), donate=True)
-    del ck, cv, out
+    _, ck, cv, _ = out
     add("LAYER_IN_SITU", dt_layer, L, 0)
+
+    # ---- layer ablation: attribute the in-situ minus sum-of-parts gap ---
+    # Each variant rebuilds the layer sandwich with pieces replaced by
+    # identities; the in-situ delta between variants is that piece's REAL
+    # (non-overlapped) cost — isolated per-op numbers miss DMA/compute
+    # overlap (the silu A/B lesson: 12 us isolated, ~0 in situ).
+    def layer_variant(c, xs_l, stacked_, *, rope=True, norms=True,
+                      act=True, resid=True):
+        x, kc, vc, i = c
+        li = i % L
+        layer = {kname: v[li] for kname, v in xs_l.items()}
+
+        def lin(name, inp):
+            from llm_inference_engine_tpu.ops.quant import QuantizedTensor
+            t = stacked_[name]
+            return linear(inp, t, kernels=kernels, layer=li)
+
+        h = (rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps,
+                     kernels=kernels) if norms else x)
+        qkv_ = lin("wqkv", h)
+        if rope:
+            qq, kk, vv = split_qkv_rope(qkv_, positions, Hq, K, D,
+                                        cfg.rope_theta, cfg.rope_scaling,
+                                        kernels=kernels)
+        else:
+            qq = qkv_[..., :Hq * D].reshape(B, 1, Hq, D)
+            kk = qkv_[..., Hq * D:(Hq + K) * D].reshape(B, 1, K, D)
+            vv = qkv_[..., (Hq + K) * D:].reshape(B, 1, K, D)
+        out_a, kc, vc = attention_decode_fused_mxu(
+            qq, kk, vv, kc, vc, q_start, kv_len, li, sm_scale=sm_scale,
+            block_kv=eng.decode_block_kv, kv_hi=KV_HI, embedded=embedded,
+            window=cfg.sliding_window)
+        attn_o = lin("wo", out_a.reshape(B, 1, Hq * D))
+        if resid and norms:
+            ffn_in, res = add_residual_rmsnorm(
+                attn_o, x, layer["ffn_norm"], cfg.rms_norm_eps,
+                kernels=kernels)
+        else:
+            ffn_in, res = attn_o, x
+        gu_ = lin("w_gate_up", ffn_in)
+        a = (silu_and_mul(gu_, kernels=kernels) if act
+             else gu_[..., :cfg.intermediate_size])
+        dn = lin("w_down", a)
+        x_out = add_residual(dn, res, kernels=kernels) if resid else dn
+        return (x_out.astype(x.dtype), kc, vc, i + 1)
+
+    variants = [
+        ("full(rebuilt)", {}),
+        ("-rope", dict(rope=False)),
+        ("-norms", dict(norms=False)),
+        ("-silu", dict(act=False)),
+        ("-resid", dict(resid=False)),
+        ("bare(mm+attn)", dict(rope=False, norms=False, act=False,
+                               resid=False)),
+    ]
+    print("# layer ablation (in-situ deltas attribute non-overlapped "
+          "cost):", flush=True)
+    for vname, kw in variants:
+        def step_v(c, xs_l, stacked_, _kw=kw):
+            return layer_variant(c, xs_l, stacked_, **_kw)
+        dt_v, out = timeit_scan(step_v, (x0 + 0, ck, cv, jnp.int32(0)),
+                                consts=(xs_layers, stacked), donate=True)
+        _, ck, cv, _ = out
+        print(f"  {vname:16s} {dt_v*1e6:9.2f} us/layer "
+              f"(delta vs full {1e6*(dt_v-dt_layer):+8.2f})", flush=True)
+    del ck, cv, out
 
     # ---- whole rollout step (bench.py config) --------------------------
     import gc
