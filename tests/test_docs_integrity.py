@@ -23,9 +23,10 @@ _FUTURE_MARKERS = ("will ", "would ", "to be written", "producing",
                    "| tee ", "> docs/", "reference", "Reference")
 
 # files describing external content (the reference repo's layout, the
-# judge's round reviews) cite paths that are not this repo's
+# judge's round reviews) cite paths that are not this repo's; this test
+# file itself holds deliberately-nonexistent example paths
 _EXTERNAL = {"SURVEY.md", "VERDICT.md", "ADVICE.md", "BASELINE.md",
-             "PAPERS.md", "SNIPPETS.md"}
+             "PAPERS.md", "SNIPPETS.md", "test_docs_integrity.py"}
 
 
 def _tracked_files():
