@@ -86,6 +86,8 @@ def main():
             b = min(b, time.perf_counter() - t0)
         best[n] = b
     dt = (best[STEPS_HI] - best[STEPS_LO]) / (STEPS_HI - STEPS_LO)
+    if dt <= 0:  # a tunnel stall polluted every LO repeat: fall back to
+        dt = best[STEPS_HI] / STEPS_HI          # the long window alone
     tok_per_sec = BATCH / dt
 
     # roofline: weight bytes + KV bytes at the differenced steps' mean
