@@ -355,6 +355,36 @@ def main():
               f"(delta vs full {1e6*(dt_v-dt_layer):+8.2f})", flush=True)
     del ck, cv, out
 
+    # ---- rollout bisect: the same decode step rebuilt in layers ---------
+    # (a) bare forward_hidden in a scan (embed -> 32 layers -> final norm
+    #     -> lm head last-token) + argmax feedback — the rollout body
+    #     minus the engine's wrapping. Gap between (a) and the engine
+    #     rollout below = engine-level overhead (donation, lengths
+    #     bookkeeping); gap between LAYER_IN_SITU*32+fixed and (a) =
+    #     cross-layer scheduling effects.
+    cache_b = kvc.new_kv_cache(L, B, K, MAX_SEQ, D, dtype=cfg.dtype,
+                               pad_to_tiles=None)
+    import dataclasses as _dc
+    cache_b = _dc.replace(cache_b, lengths=jnp.full((B,), ctx, jnp.int32))
+    tok0 = jnp.zeros((B,), jnp.int32)
+
+    def fwd_step(c, params_):
+        ck_, cv_, ln, tok = c
+        cc = kvc.KVCache(ck_, cv_, ln)
+        logits_, cc = llama_model.forward_hidden(
+            cfg, eng, params_, tok[:, None], cc, ln, ln + 1, kv_hi=KV_HI)
+        nxt = jnp.argmax(logits_, axis=-1).astype(jnp.int32)
+        # hold ctx fixed: write always lands at `ctx` (same work per iter,
+        # no cache overflow across the 1024-iter timing scans)
+        return (cc.k, cc.v, ln * 0 + ctx, nxt)
+
+    dt_fwd, out = timeit_scan(
+        fwd_step, (cache_b.k, cache_b.v, cache_b.lengths, tok0),
+        consts=(params,), iters=256, donate=True)
+    del cache_b, out
+    print(f"# fwd_hidden-in-scan step {dt_fwd*1e3:9.3f} ms "
+          f"(vs sum-of-parts: see reconciliation)", flush=True)
+
     # ---- whole rollout step (bench.py config) --------------------------
     import gc
     gc.collect()

@@ -588,13 +588,17 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor,
         def fits(bm_c, bn_c):
             # weight + scale blocks x2 (double-buffered), x blocks x2,
             # OUT blocks x2 (Mosaic double-buffers output windows too),
-            # + the f32 accumulator scratch. Omitting the out term
-            # overflowed the 16 MB scoped-VMEM limit at prefill widths x
-            # vocab with an f32 out (m=256, n=32000: 16.6 MB on hardware).
+            # + the f32 accumulator scratch COUNTED TWICE. Omitting the
+            # out term overflowed the 16 MB scoped-VMEM limit at prefill
+            # widths x vocab with an f32 out (m=256, n=32000: 16.6 MB on
+            # hardware, r3); counting the accumulator once still
+            # overflowed at bm=512, bn=2048, bk=1024 int4 (single-count
+            # model 12.1 MB, hardware >16 MB — r4, TTFT 512-token int4
+            # prefill), so the empirical budget doubles it.
             return (2 * wrow * bn_c + 2 * gb * bn_c * 4
                     + 2 * bm_c * bk * 2
                     + 2 * bm_c * bn_c * out_bytes
-                    + bm_c * bn_c * 4) <= 14 * 1024 * 1024
+                    + 2 * bm_c * bn_c * 4) <= 14 * 1024 * 1024
         # bm may shrink independently of m-divisibility: the grid is
         # cdiv(m, bm) and the kernel discards the ragged last M block's
         # tail rows (ADVICE r3: requiring m % bm == 0 here dropped the
