@@ -265,6 +265,15 @@ class EngineConfig:
                                      # mesh's "seq" axis (parallel/cp_engine)
     # kernel selection: "pallas" on TPU, "xla" pure-jnp fallback, "auto" picks
     kernels: str = "auto"
+    # layer-loop unroll factor: a lax.scan body is a scheduling barrier
+    # (XLA cannot overlap across while-loop iterations), so unrolling
+    # lets layer i+1's weight DMAs issue under layer i's compute, at the
+    # cost of a proportionally larger program. Measured NEUTRAL on the
+    # current decode kernels (interleaved A/B at 7B int4 bs=8: 8.561 vs
+    # 8.556 ms/step for 1 vs 4 — the weight streams already saturate
+    # HBM, so there is nothing left to overlap into); kept as a knob for
+    # compute-bound shapes.
+    layer_scan_unroll: int = 1
     # pallas attention block sizes (VMEM-bounded: the all-heads kernel
     # holds [K, bq, D] accumulators and [bk, K, D] kv blocks)
     block_q: int = 128

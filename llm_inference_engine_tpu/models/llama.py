@@ -288,9 +288,11 @@ def run_layers(cfg: ModelConfig, eng: EngineConfig, layers_params, x,
                 x_carry, cache)
             return (x_out, cache), None
 
+    unroll = max(1, getattr(eng, "layer_scan_unroll", 1))
     (x, cache), _ = jax.lax.scan(
         body, (x, cache),
-        (xs_layers, jnp.arange(num_layers, dtype=jnp.int32)))
+        (xs_layers, jnp.arange(num_layers, dtype=jnp.int32)),
+        unroll=min(unroll, num_layers))
     return x, cache
 
 

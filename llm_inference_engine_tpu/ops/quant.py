@@ -606,6 +606,14 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor,
         # XLA-fallback perf cliff)
         while not fits(bm, bn) and bm > 8 and bm % 16 == 0:
             bm //= 2
+        # bn must also be able to SHRINK: contraction dims with no
+        # grouped-divisor block (13B's inter=13824 -> bk = full K) carry
+        # a [k/2, bn] weight block whose bn=1024 default alone exceeds
+        # the VMEM budget — the old plan returned None and the decode
+        # silently fell to the XLA path at 60 tok/s (r4 perf matrix,
+        # llama2-13b: a 5.5x cliff vs the fixed plan)
+        while not fits(bm, bn) and bn >= 256 and bn % 256 == 0:
+            bn //= 2
         for cand in range(bn + 128, min(n, 8192) + 1, 128):
             if n % cand == 0 and fits(bm, cand):
                 bn = cand
