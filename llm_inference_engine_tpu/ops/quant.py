@@ -557,7 +557,11 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor,
         # packed weight block stays comfortably inside VMEM (<= 8 MB)
         step = (8 * t.group_size) * 128 // _math.gcd(8 * t.group_size, 128)
         bk = _pick_bk(k_in, step)
-        if bk is None and k_in * bn // 2 <= 8 * 1024 * 1024:
+        # full-K fallback viability is judged at the MINIMUM bn (128):
+        # the bn-shrink loop below can always bring the weight block
+        # down to [k/2, 128] (judging at the default bn=1024 rejected
+        # qwen2's inter=18944 down projection outright -> XLA cliff)
+        if bk is None and k_in * 128 // 2 <= 8 * 1024 * 1024:
             bk = k_in
         feasible = (_tile_ok(bm, m) and _tile_ok(bn, n, lane=True)
                     and bk is not None and _tile_ok(bk, k_in, lane=True)

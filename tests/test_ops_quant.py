@@ -170,3 +170,39 @@ def test_dequant_plan_shapes():
         assert k % bk == 0 and n % bn == 0 and bk % 128 == 0, (k, n, plan)
     # shapes the kernel must refuse (fall back to XLA unpack)
     assert _plan_dequant_blocks(384 + 16, 128, 128) is None
+
+
+def test_plan_blocks_never_drops_production_shapes():
+    """Every production (m, n, k) matmul shape must get a Pallas plan —
+    a None plan silently falls back to XLA dequant-materialization,
+    measured as a 9.8x decode cliff when 13B's down projection hit it
+    (r4: inter=13824 has no grouped-divisor K block, and the full-K
+    weight block needed bn to shrink below its default)."""
+    from llm_inference_engine_tpu.ops.quant import _plan_blocks, quantize_tensor
+
+    shapes = {
+        "7b": dict(h=4096, i=11008, qkv=12288, v=32000),
+        "13b": dict(h=5120, i=13824, qkv=15360, v=32000),
+        "tinyllama": dict(h=2048, i=5632, qkv=2560, v=32000),
+        "llama3-8b": dict(h=4096, i=14336, qkv=6144, v=128256),
+        "qwen2-7b": dict(h=3584, i=18944, qkv=4608, v=152064),
+    }
+    for mode in ("int8", "int4"):
+        for name, s in shapes.items():
+            mats = [  # (m, n, k) decode + prefill-chunk shapes
+                (8, s["qkv"], s["h"]),      # wqkv
+                (8, s["h"], s["h"]),        # wo (approx: q_size ~ h)
+                (8, 2 * s["i"], s["h"]),    # gate_up
+                (8, s["h"], s["i"]),        # down  <- the 13B cliff
+                (8, s["v"], s["h"]),        # lm_head
+                (512, s["h"], s["i"]),      # prefill-chunk down
+                (512, s["v"], s["h"]),      # prefill-chunk lm head
+            ]
+            for m, n, k in mats:
+                w = np.zeros((k, n), np.float32)
+                t = quantize_tensor(jnp.asarray(w), mode)
+                plan = _plan_blocks(m, n, k, t)
+                assert plan is not None, (mode, name, m, n, k)
+                bm, bn, bk = plan
+                if mode == "int4":   # int8 masks a ragged last K block
+                    assert bk == k or k % bk == 0, (mode, name, plan)
