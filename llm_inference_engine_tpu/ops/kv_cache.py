@@ -370,10 +370,17 @@ def _write_pallas(k, v, k_scale, v_scale, knew, vnew, ks, vs, starts,
       jnp.asarray(layer, jnp.int32).reshape(1), *inputs)
 
 
-def _update_one_at_layer(cache_b, new_b, layer, start):
-    """cache_b: [L, S, K, D]; new_b: [T, K, D]; write at (layer, start)."""
-    return jax.lax.dynamic_update_slice(
+def _update_one_at_layer(cache_b, new_b, layer, start, nlen):
+    """cache_b: [L, S, K, D]; new_b: [T, K, D]; write at (layer, start).
+    ``nlen == 0`` rows are a NO-OP, matching the Pallas write kernel's
+    ``pl.when(nlen > 0)`` — an unconditional DUS would deposit a garbage
+    window at the (clamped) start, which near a full cache lands ON the
+    last valid row (found by r4 review: a CP rank with a full local log
+    is never the decode owner, but the old unconditional write clobbered
+    its newest token anyway)."""
+    updated = jax.lax.dynamic_update_slice(
         cache_b, new_b.astype(cache_b.dtype)[None], (layer, start, 0, 0))
+    return jnp.where(nlen > 0, updated, cache_b)
 
 
 def update_cache_at_layer(cache: KVCache, layer, new_k: jax.Array,
@@ -414,12 +421,12 @@ def update_cache_at_layer(cache: KVCache, layer, new_k: jax.Array,
                                  None, None, starts, new_len, layer,
                                  quantized=False)
             return dataclasses.replace(cache, k=k, v=v)
-        upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0),
+        upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0, 0),
                        out_axes=1)
         return dataclasses.replace(
             cache,
-            k=upd(cache.k, qk, layer, starts),
-            v=upd(cache.v, qv, layer, starts))
+            k=upd(cache.k, qk, layer, starts, new_len),
+            v=upd(cache.v, qv, layer, starts, new_len))
 
     # the DMA slices (T, K, D) spans; Mosaic requires the trailing tiled
     # dims be tile-aligned (K % 8, D % 128) — true for every production
@@ -432,9 +439,12 @@ def update_cache_at_layer(cache: KVCache, layer, new_k: jax.Array,
         qk, k_sc = _quantize_kv(new_k)     # [B,T,K,D], [B,T,K]
         qv, v_sc = _quantize_kv(new_v)
         upd2 = jax.vmap(
-            lambda c, n, l, s: jax.lax.dynamic_update_slice(
-                c, n.astype(c.dtype)[None], (l, s, 0)),
-            in_axes=(1, 0, None, 0), out_axes=1)
+            lambda c, n, l, s, nl: jnp.where(
+                nl > 0,
+                jax.lax.dynamic_update_slice(
+                    c, n.astype(c.dtype)[None], (l, s, 0)),
+                c),
+            in_axes=(1, 0, None, 0, 0), out_axes=1)
         if pallas_ok:
             # int8 values ride the aliased DMA kernel; the [L, B, S, K]
             # scale arrays cannot (their token axis sits in the tiled
@@ -448,16 +458,18 @@ def update_cache_at_layer(cache: KVCache, layer, new_k: jax.Array,
                 starts, new_len, layer, quantized=False)
             return dataclasses.replace(
                 cache, k=k, v=v,
-                k_scale=upd2(cache.k_scale, k_sc, layer, starts),
-                v_scale=upd2(cache.v_scale, v_sc, layer, starts))
-        upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0),
+                k_scale=upd2(cache.k_scale, k_sc, layer, starts,
+                             new_len),
+                v_scale=upd2(cache.v_scale, v_sc, layer, starts,
+                             new_len))
+        upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0, 0),
                        out_axes=1)
         return dataclasses.replace(
             cache,
-            k=upd(cache.k, qk, layer, starts),
-            v=upd(cache.v, qv, layer, starts),
-            k_scale=upd2(cache.k_scale, k_sc, layer, starts),
-            v_scale=upd2(cache.v_scale, v_sc, layer, starts))
+            k=upd(cache.k, qk, layer, starts, new_len),
+            v=upd(cache.v, qv, layer, starts, new_len),
+            k_scale=upd2(cache.k_scale, k_sc, layer, starts, new_len),
+            v_scale=upd2(cache.v_scale, v_sc, layer, starts, new_len))
 
     if pallas_ok:
         k, v = _write_pallas(
@@ -465,8 +477,9 @@ def update_cache_at_layer(cache: KVCache, layer, new_k: jax.Array,
             new_k.astype(cache.k.dtype), new_v.astype(cache.v.dtype),
             None, None, starts, new_len, layer, quantized=False)
         return dataclasses.replace(cache, k=k, v=v)
-    upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0), out_axes=1)
+    upd = jax.vmap(_update_one_at_layer, in_axes=(1, 0, None, 0, 0),
+                   out_axes=1)
     return dataclasses.replace(
         cache,
-        k=upd(cache.k, new_k, layer, starts),
-        v=upd(cache.v, new_v, layer, starts))
+        k=upd(cache.k, new_k, layer, starts, new_len),
+        v=upd(cache.v, new_v, layer, starts, new_len))

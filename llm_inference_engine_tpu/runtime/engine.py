@@ -517,6 +517,37 @@ class InferenceEngine:
             if pad_to is not None:
                 chunk_max = max(chunk_max, min(max_len - offset, C))
             T = _bucket_len(max(chunk_max, 1), cap=C)
+            # near capacity the PADDED window must not cross the cache
+            # end: the write clamps its start to S - T, which would shift
+            # real rows onto older valid history (silent corruption —
+            # found by r4 review). Shrink the bucket for this chunk; if
+            # even the minimal bucket crosses, refuse with guidance.
+            # (Lockstep callers pass pad_to/kv_hi with agreed lengths, so
+            # every host takes identical branches here.)
+            S = eng.max_seq_len
+            s_local = S // self.cp
+            active_rows = chunk_lens > 0
+            if active_rows.any():
+                qmax = int(lengths_host[active_rows].max())
+                lmax = (int(np.max(llen_host[active_rows]))
+                        if llen_host is not None else 0)
+                # floor: the real tokens, and under cp a >=2-row chunk
+                # per rank (T // cp == 1 would look like the decode path)
+                t_floor = max(chunk_max, 2 * self.cp if self.cp > 1 else 1)
+                while T > 1 and T // 2 >= t_floor and (
+                        qmax + T > S
+                        or (self.cp > 1 and lmax + T // self.cp > s_local)):
+                    T //= 2
+                if qmax + T > S or (self.cp > 1
+                                    and lmax + max(1, T // self.cp)
+                                    > s_local):
+                    raise ValueError(
+                        f"prefill append at history {qmax} cannot fit a "
+                        f"{T}-token padded chunk inside max_seq_len {S}"
+                        + (f" (cp={self.cp}: a rank's local log is at "
+                           f"{lmax}/{s_local})" if self.cp > 1 else "")
+                        + "; prefill near-capacity slots in a separate "
+                        "call or raise max_seq_len")
             token_ids = np.zeros((B, T), np.int32)
             for slot, p in zip(slots, prompts):
                 chunk = p[offset:offset + chunk_lens[slot]]

@@ -600,12 +600,30 @@ def aggregate_metrics(texts) -> str:
                 continue
             if not line.strip() or line.startswith("#"):
                 continue
-            name, value = line.split()
+            # exposition sample: name[{labels}] value [timestamp] —
+            # labels may contain quoted spaces, so split from the RIGHT;
+            # a trailing integer preceded by another number is a
+            # timestamp (Prometheus text format)
+            parts = line.rsplit(None, 1)
+            if len(parts) != 2:
+                continue
+            name, value = parts
+            try:
+                fval = float(value)
+            except ValueError:
+                continue                     # not a sample line: skip
+            h2 = name.rsplit(None, 1)
+            if len(h2) == 2 and value.lstrip("-+").isdigit():
+                try:
+                    fval = float(h2[1])      # "name value timestamp"
+                    name = h2[0]
+                except ValueError:
+                    pass                     # name legitimately has space
             if name not in sums:
                 order.append(name)
                 sums[name] = 0.0
                 counts[name] = 0
-            sums[name] += float(value)
+            sums[name] += fval
             counts[name] += 1
     out = []
     for name in order:

@@ -121,14 +121,36 @@ def test_cp_composes_with_tp_dp(rng, cp, tp, dp):
 
 
 def test_cp_local_capacity_guard(rng):
-    """Ragged chunked prefill that would overflow rank 0's log raises."""
+    """Ragged chunked prefill that would overflow rank 0's log raises
+    (either the padded-window shrink check or the llen mirror fires —
+    both refuse loudly instead of shift-corrupting the log)."""
     cpe = make_engine(cp=2)
-    s_local = cpe.engine_config.max_seq_len // 2          # 32 rows/rank
     # chunks of <=16 bucket to 16 (t_local=8); 9-token chunks put 8 rows
     # on rank 0 and 1 on rank 1 per call -> rank 0 fills at ~8/call
-    with pytest.raises(ValueError, match="local KV log"):
+    with pytest.raises(ValueError, match="local KV log|cannot fit"):
         for _ in range(8):
             cpe.prefill([[1] * 9, [], [], []], slots=[0, 1, 2, 3])
+
+
+def test_cp_multiround_append_near_capacity(rng):
+    """Appends whose padded windows approach the per-rank log capacity
+    still reproduce the cp=1 engine exactly (the chunk bucket shrinks
+    instead of letting the local write start clamp and shift)."""
+    base = make_engine()
+    cpe = make_engine(cp=2)
+    toks = rng.integers(0, CFG.vocab_size, size=58).tolist()
+    # 48 (even 16-chunks, logs 24/24) + 6 (logs 30/24) + 4: rank 0 has 2
+    # rows left, so the 4-token append must shrink its bucket to 4
+    # (t_local=2) to fit — the shift-corrupting clamp never engages
+    for e in (base, cpe):
+        e.prefill([toks[:48], [], [], []], slots=[0, 1, 2, 3])
+        e.prefill([toks[48:54], [], [], []], slots=[0, 1, 2, 3])
+    got = np.asarray(cpe.prefill([toks[54:58], [], [], []],
+                                 slots=[0, 1, 2, 3]))
+    want = np.asarray(base.prefill([toks[54:58], [], [], []],
+                                   slots=[0, 1, 2, 3]))
+    np.testing.assert_allclose(got[0], want[0], atol=3e-4, rtol=3e-4)
+    assert int(np.asarray(cpe.cache.llen)[0].max()) <= 32
 
 
 def test_cp_guards_paged_and_quantized():

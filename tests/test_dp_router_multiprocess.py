@@ -197,3 +197,12 @@ def test_aggregate_metrics_unit():
                if line and not line.startswith("#"))
     assert float(agg["llm_tokens_generated_total"]) == 42
     assert abs(float(agg["llm_spec_acceptance_rate"]) - 0.6) < 1e-9
+    # standard exposition variants must not crash the aggregator:
+    # labels (with quoted spaces), timestamps, HELP lines, blanks
+    c = ('# HELP llm_requests_completed_total total\n'
+         'llm_requests_completed_total{model="7 b"} 3\n'
+         'llm_tokens_generated_total 5 1690000000\n'
+         '\n')
+    agg2 = aggregate_metrics([c, c])
+    assert 'llm_requests_completed_total{model="7 b"} 6' in agg2
+    assert "llm_tokens_generated_total 10" in agg2

@@ -174,3 +174,34 @@ def test_sampled_rollout_deterministic_and_stops():
         stop_token_ids=(stop,)), eos_token_id=None)
     assert stop not in r.token_ids[0]
     assert len(r.token_ids[0]) < 12
+
+
+def test_multiround_append_near_capacity_matches_flat_replay(rng):
+    """r4 review: a padded prefill chunk whose window crossed max_seq_len
+    had its write start clamped, shifting real rows onto older valid
+    history (silent corruption). The engine now shrinks the chunk bucket
+    near capacity; appends at history 48 and 52 of a 64-slot cache must
+    reproduce a one-shot prefill of the same 56 tokens exactly."""
+    from llm_inference_engine_tpu.config import EngineConfig, get_config
+    from llm_inference_engine_tpu.models.weights import init_dummy_params
+    from llm_inference_engine_tpu.runtime.engine import InferenceEngine
+    cfg = get_config("debug")
+    params = init_dummy_params(cfg, seed=0)
+    eng = EngineConfig(max_batch_size=1, max_seq_len=64, max_prefill_len=16,
+                       kernels="xla")
+    toks = rng.integers(0, cfg.vocab_size, size=56).tolist()
+
+    e = InferenceEngine(cfg, eng, params)
+    e.prefill([toks[:48]])
+    e.prefill([toks[48:52]])
+    got = np.asarray(e.prefill([toks[52:56]]))
+
+    e2 = InferenceEngine(cfg, eng, params)
+    want = np.asarray(e2.prefill([toks]))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    # completely-full appends still refuse loudly instead of corrupting
+    import pytest as _pytest
+    e.prefill([toks[:8]], slots=[0])          # now at 64 = max_seq_len
+    with _pytest.raises(ValueError, match="cannot fit"):
+        e.prefill([[1]], slots=[0])

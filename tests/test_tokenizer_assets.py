@@ -185,7 +185,9 @@ def test_handbuilt_proto_native_matches_python_incremental(tmp_path):
 # independent HuggingFace ``tokenizers`` Rust BPE implementation by
 # tests/assets/make_tokenizer_asset.py (this environment has no
 # ``sentencepiece`` lib and no network; see that script's provenance
-# note). These tests run UNCONDITIONALLY — no library, no skip.
+# note). The three-encoder pinned check runs UNCONDITIONALLY — no
+# library, no skip; the HF cross-check additionally needs the
+# ``tokenizers`` wheel (baked into this image, so it runs here too).
 # ---------------------------------------------------------------------------
 
 ASSET_DIR = __import__("pathlib").Path(__file__).parent / "assets"
