@@ -169,12 +169,13 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
             attn_out = split_kv_decode_attention(
                 q, k_loc, v_loc, positions, kv_pos, kv_valid, cp.axis,
                 sm_scale=sm_scale, window=cfg.sliding_window,
-                out_dtype=x.dtype)
+                out_dtype=x.dtype, kernels=kernels)
         else:
             attn_out = ring_attention(
                 q, k_loc, v_loc, positions, kv_pos, kv_valid, cp.axis,
                 cp.n, sm_scale=sm_scale, causal=True,
-                window=cfg.sliding_window, out_dtype=x.dtype)
+                window=cfg.sliding_window, out_dtype=x.dtype,
+                kernels=kernels)
     elif isinstance(cache, PagedKVCache):
         # paged path: block-table writes + table-indirected attention
         # (same kernels, paged index maps — ops/paged_kv.py)

@@ -74,7 +74,8 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
                           sm_scale: Optional[float] = None,
                           causal: bool = True,
                           window: Optional[int] = None,
-                          block_kv: Optional[int] = 512):
+                          block_kv: Optional[int] = 512,
+                          kernels: str = "auto"):
     """Online-softmax partials of a query chunk vs ONE kv chunk.
 
     ``block_kv``: the kv chunk is processed in blocks of this many rows
@@ -105,8 +106,29 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
     """
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    K = k.shape[2]
     kv_pos_b = (kv_pos if kv_pos.ndim == 2
                 else jnp.broadcast_to(kv_pos[None, :], (B, Tk)))
+
+    # Pallas flash inner (ops/attention.attention_stats_pallas): the MXU
+    # online-softmax kernel with the causal mask computed from the
+    # EXPLICIT absolute positions the CP append log carries. EXPLICIT
+    # opt-in only: on-chip at 7B CP chunk shapes (Tq=1024, Tk=2048,
+    # K=32) the kernel measured 14.2 TFLOP/s vs 53.5 for the XLA
+    # blockwise path below (the per-block [bk, K, D] -> [K, bk, D]
+    # transposes dominate), so "auto" keeps XLA. The kernel stays
+    # parity-tested (tests/test_context_parallel.py) as the tuning
+    # vehicle for a transpose-free layout.
+    from llm_inference_engine_tpu.utils import pallas_interpret
+    if kernels == "pallas" and D % 128 == 0 and K % 8 == 0:
+        from llm_inference_engine_tpu.ops.attention import (
+            attention_stats_pallas)
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+        return attention_stats_pallas(
+            q, k, v, q_pos, kv_pos_b, kv_valid, causal=causal,
+            sm_scale=float(scale),
+            block_kv=min(block_kv or 128, 128),
+            window=window, interpret=pallas_interpret())
 
     if block_kv is None or Tk <= block_kv:
         return _chunk_stats_dense(q, k, v, q_pos, kv_pos_b, kv_valid,
@@ -201,7 +223,7 @@ def _finalize(acc, l):
 def ring_attention(q, k, v, q_pos, kv_pos, kv_valid, axis_name: str,
                    num_shards: int, *, sm_scale: Optional[float] = None,
                    causal: bool = True, window: Optional[int] = None,
-                   out_dtype=None):
+                   out_dtype=None, kernels: str = "auto"):
     """Ring attention over sequence-sharded q AND kv. Call inside
     ``shard_map`` with everything already local:
 
@@ -220,14 +242,14 @@ def ring_attention(q, k, v, q_pos, kv_pos, kv_valid, axis_name: str,
 
     acc, m, l = chunk_attention_stats(
         q, k, v, q_pos, kv_pos, kv_valid, sm_scale=sm_scale,
-        causal=causal, window=window)
+        causal=causal, window=window, kernels=kernels)
     cur = (k, v, kv_pos, kv_valid)
     for _ in range(num_shards - 1):
         cur = jax.tree.map(rotate, cur)
         kc, vc, pc, valc = cur
         acc2, m2, l2 = chunk_attention_stats(
             q, kc, vc, q_pos, pc, valc, sm_scale=sm_scale,
-            causal=causal, window=window)
+            causal=causal, window=window, kernels=kernels)
         acc, m, l = merge_stats(acc, m, l, acc2, m2, l2)
     out = _finalize(acc, l)
     return out.astype(out_dtype or q.dtype)
@@ -237,7 +259,7 @@ def split_kv_decode_attention(q, k, v, q_pos, kv_pos, kv_valid,
                               axis_name: str, *,
                               sm_scale: Optional[float] = None,
                               window: Optional[int] = None,
-                              out_dtype=None):
+                              out_dtype=None, kernels: str = "auto"):
     """Flash-decoding over a sequence-sharded KV cache (Sq small, usually
     1): every rank attends its LOCAL shard, partials combine with one pmax
     + two psums — no ring, minimum latency, aggregate HBM bandwidth.
@@ -246,7 +268,7 @@ def split_kv_decode_attention(q, k, v, q_pos, kv_pos, kv_valid,
     """
     acc, m, l = chunk_attention_stats(
         q, k, v, q_pos, kv_pos, kv_valid, sm_scale=sm_scale,
-        causal=True, window=window)
+        causal=True, window=window, kernels=kernels)
     m_g = jax.lax.pmax(m, axis_name)
     w = jnp.exp(m - m_g)
     acc_g = jax.lax.psum(acc * w[..., None], axis_name)
