@@ -550,6 +550,14 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor,
     [.., G, n] scales directly, with no relayout (see the kernel)."""
     import math as _math
     bm = m if m <= 256 else 256
+    if bm < 8:
+        # Mosaic cannot lower the int8 path's ragged-K row mask at
+        # single-row tiles ("Not implemented: Sublane broadcast" —
+        # m=1, k=11008, bk=1024 on hardware, r4); an 8-row tile with a
+        # ragged M edge compiles fine and the kernel discards the
+        # out-of-bounds rows (the weight stream, which dominates, is
+        # unchanged)
+        bm = 8
     bn = n if n <= 1024 else 1024
     if t.mode == "int4":
         # bk % (8*group) keeps the scale tile legal; dims with no such
@@ -624,6 +632,19 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor,
     return (bm, bn, bk) if feasible and fits(bm, bn) else None
 
 
+def _pad_rows8(x2):
+    """Pad activations to >= 8 rows for the Pallas matmul kernels: Mosaic
+    clips a block to a 1-row array and then cannot lower the ragged-K
+    lane-iota mask over a single sublane ("Not implemented: Sublane
+    broadcast" — m=1 int8 k=11008 on hardware, r4). The padded rows are
+    dead weight only for the tiny activation stream; callers slice them
+    off the output. Returns (padded_x2, real_m)."""
+    m = x2.shape[0]
+    if m >= 8:
+        return x2, m
+    return jnp.pad(x2, ((0, 8 - m), (0, 0))), m
+
+
 def quantized_linear(x: jax.Array, t: QuantizedTensor,
                      bias: jax.Array | None = None, out_dtype: Any = None,
                      *, kernels: str = "auto", layer=None) -> jax.Array:
@@ -663,10 +684,11 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
             if plan is None:  # tiny/debug shapes: XLA path (still fused)
                 return quantized_linear_xla(x, t, bias, out_dtype)
             bm, bn, bk = plan
+            x2p, m_real = _pad_rows8(x2)
             y = _quantized_matmul_pallas(
-                x2, t.q, t.scale.astype(jnp.float32), t.mode, t.group_size,
+                x2p, t.q, t.scale.astype(jnp.float32), t.mode, t.group_size,
                 jnp.dtype(out_dtype), bm, bn, bk, pallas_interpret())
-            y = y.reshape(*lead, n)
+            y = y[:m_real].reshape(*lead, n)
         if bias is not None:
             y = (y.astype(jnp.float32)
                  + bias.astype(jnp.float32)).astype(out_dtype)
@@ -717,16 +739,18 @@ def quantized_linear(x: jax.Array, t: QuantizedTensor,
     bm, bn, bk = plan
 
     scale = t.scale.astype(jnp.float32)
+    x2p, m_real = _pad_rows8(x2)
     if structured:
         out = _quantized_matmul_pallas(
-            x2, t.q, scale, t.mode, t.group_size, jnp.dtype(out_dtype),
+            x2p, t.q, scale, t.mode, t.group_size, jnp.dtype(out_dtype),
             bm, bn, bk, pallas_interpret(), layer=layer)     # [2, m, I]
-        y = jnp.concatenate([out[0], out[1]], axis=-1).reshape(*lead, 2 * n)
+        y = jnp.concatenate([out[0][:m_real], out[1][:m_real]],
+                            axis=-1).reshape(*lead, 2 * n)
     else:
         y = _quantized_matmul_pallas(
-            x2, t.q, scale, t.mode, t.group_size, jnp.dtype(out_dtype),
+            x2p, t.q, scale, t.mode, t.group_size, jnp.dtype(out_dtype),
             bm, bn, bk, pallas_interpret(), layer=layer)
-        y = y.reshape(*lead, n)
+        y = y[:m_real].reshape(*lead, n)
     if bias is not None:
         y = (y.astype(jnp.float32) + bias.astype(jnp.float32)).astype(out_dtype)
     return y

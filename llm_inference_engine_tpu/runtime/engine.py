@@ -505,6 +505,26 @@ class InferenceEngine:
         llen_host = (np.asarray(jax.device_get(self.cache.llen))
                      if self.cp > 1 else None)
 
+        if pad_to is None and len(prompts) > 1:
+            # near-capacity appends need a SMALLER padded bucket than
+            # fresh admissions can share (a window crossing max_seq_len
+            # clamps its start and would shift real rows onto history —
+            # the loop below shrinks the bucket, but one bucket cannot
+            # serve both a 16-token admission chunk and an append whose
+            # slot has < 16 rows left): run them as separate calls
+            near = [i for i, (sl, p) in enumerate(zip(slots, prompts))
+                    if len(p) and lengths_host[sl] + 16 > eng.max_seq_len]
+            if near and len(near) < sum(1 for p in prompts if len(p)):
+                far = [i for i in range(len(prompts)) if i not in near]
+                lg_far = self.prefill([prompts[i] for i in far],
+                                      slots=[slots[i] for i in far])
+                lg_near = self.prefill([prompts[i] for i in near],
+                                       slots=[slots[i] for i in near])
+                rows_near = jnp.zeros((B,), bool).at[
+                    jnp.asarray([slots[i] for i in near],
+                                jnp.int32)].set(True)
+                return jnp.where(rows_near[:, None], lg_near, lg_far)
+
         final_logits = None
         offset = 0
         while offset == 0 or offset < max_len:
