@@ -301,9 +301,7 @@ def main():
         layer = {kname: v[li] for kname, v in xs_l.items()}
 
         def lin(name, inp):
-            from llm_inference_engine_tpu.ops.quant import QuantizedTensor
-            t = stacked_[name]
-            return linear(inp, t, kernels=kernels, layer=li)
+            return linear(inp, stacked_[name], kernels=kernels, layer=li)
 
         h = (rmsnorm(x, layer["attn_norm"], cfg.rms_norm_eps,
                      kernels=kernels) if norms else x)

@@ -846,13 +846,17 @@ def _attention_pallas(q, k_cache, v_cache, q_start, kv_len, causal, sm_scale,
     bk = Skv if Skv <= block_kv else max(8, (block_kv // 8) * 8)
     # int8-cache prefill: Mosaic's int8 handling of the [bk, Kst, D]
     # blocks (tile padding + cast/relayout temps) carries large
-    # bk-proportional scoped-VMEM costs — at MHA head counts (K=32,
-    # D=128) bk=128 overflowed the 16 MB limit on hardware at EVERY bq
-    # (19.0M at bq=128, still 16.9M at bq=32), while bk=64 compiles even
-    # at bq=128 (compile-only bisect, r4). Cap bk for the quantized
-    # variants; the bf16 path keeps its validated tiles.
+    # bk*Kst*D-proportional scoped-VMEM costs — at MHA head counts
+    # (Kst=32, D=128) bk=128 overflowed the 16 MB limit on hardware at
+    # EVERY bq (19.0M at bq=128, still 16.9M at bq=32), while bk=64
+    # compiles even at bq=128 (compile-only bisect, r4). Cap the
+    # quantized variants' bk at the measured-safe per-block volume so
+    # GQA models (smaller Kst) keep their larger, faster DMA blocks;
+    # the bf16 path keeps its validated tiles.
     if quant or embedded:
-        bk = min(bk, 64)
+        # measured-safe volume: bk=64 at Kst=40 (embedded 7B), D=128
+        safe = max(8, ((64 * 40 * 128) // max(Kst * D, 1)) // 8 * 8)
+        bk = min(bk, safe)
     if paged:
         bk = min(bk, page)
         if page % bk:

@@ -119,8 +119,12 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
     # transposes dominate), so "auto" keeps XLA. The kernel stays
     # parity-tested (tests/test_context_parallel.py) as the tuning
     # vehicle for a transpose-free layout.
+    # rows >= 8: Mosaic clips blocks to the array and cannot lower masks
+    # over a single sublane (the m=1 failure class ops/quant._pad_rows8
+    # works around) — decode-shaped chunks (Tq=1, MHA) stay on XLA
     from llm_inference_engine_tpu.utils import pallas_interpret
-    if kernels == "pallas" and D % 128 == 0 and K % 8 == 0:
+    if (kernels == "pallas" and D % 128 == 0 and K % 8 == 0
+            and Tq * (H // K) >= 8):
         from llm_inference_engine_tpu.ops.attention import (
             attention_stats_pallas)
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)

@@ -510,10 +510,16 @@ class InferenceEngine:
             # fresh admissions can share (a window crossing max_seq_len
             # clamps its start and would shift real rows onto history —
             # the loop below shrinks the bucket, but one bucket cannot
-            # serve both a 16-token admission chunk and an append whose
-            # slot has < 16 rows left): run them as separate calls
+            # serve both a long admission chunk and an append whose slot
+            # lacks that much room): run them as separate calls. "Near"
+            # is judged against the bucket THIS batch would use (r4
+            # review: a hard-coded 16 missed slots whose remaining room
+            # sat between 16 and the shared bucket).
+            C0 = max(1, eng.max_prefill_len)
+            T0 = _bucket_len(max((min(len(p), C0) for p in prompts
+                                  if len(p)), default=1), cap=C0)
             near = [i for i, (sl, p) in enumerate(zip(slots, prompts))
-                    if len(p) and lengths_host[sl] + 16 > eng.max_seq_len]
+                    if len(p) and lengths_host[sl] + T0 > eng.max_seq_len]
             if near and len(near) < sum(1 for p in prompts if len(p)):
                 far = [i for i in range(len(prompts)) if i not in near]
                 lg_far = self.prefill([prompts[i] for i in far],
@@ -540,34 +546,49 @@ class InferenceEngine:
             # near capacity the PADDED window must not cross the cache
             # end: the write clamps its start to S - T, which would shift
             # real rows onto older valid history (silent corruption —
-            # found by r4 review). Shrink the bucket for this chunk; if
-            # even the minimal bucket crosses, refuse with guidance.
-            # (Lockstep callers pass pad_to/kv_hi with agreed lengths, so
-            # every host takes identical branches here.)
+            # found by r4 review). Shrink the bucket for this chunk (down
+            # to an exact-fit tail bucket when no power of two serves);
+            # if the real tokens themselves cannot fit, refuse loudly.
+            # Single-host path only: lockstep hosts must trace identical
+            # chunk shapes from the AGREED pad_to/kv_hi, and their
+            # admission plan keeps capacity margins, so a host-local
+            # shrink would desync the group (r4 review).
             S = eng.max_seq_len
             s_local = S // self.cp
             active_rows = chunk_lens > 0
-            if active_rows.any():
+            if pad_to is None and active_rows.any():
                 qmax = int(lengths_host[active_rows].max())
                 lmax = (int(np.max(llen_host[active_rows]))
                         if llen_host is not None else 0)
+
+                def crosses(t):
+                    return (qmax + t > S
+                            or (self.cp > 1
+                                and lmax + max(1, t // self.cp) > s_local))
+
                 # floor: the real tokens, and under cp a >=2-row chunk
                 # per rank (T // cp == 1 would look like the decode path)
                 t_floor = max(chunk_max, 2 * self.cp if self.cp > 1 else 1)
-                while T > 1 and T // 2 >= t_floor and (
-                        qmax + T > S
-                        or (self.cp > 1 and lmax + T // self.cp > s_local)):
+                while T > 1 and T // 2 >= t_floor and crosses(T):
                     T //= 2
-                if qmax + T > S or (self.cp > 1
-                                    and lmax + max(1, T // self.cp)
-                                    > s_local):
+                if crosses(T) and chunk_max <= S - qmax:
+                    # exact-fit tail: room for the real tokens, but below
+                    # any power-of-two bucket (e.g. a 13-token append
+                    # with 14 rows left)
+                    fit = S - qmax
+                    if self.cp > 1:
+                        fit = min(fit, (s_local - lmax) * self.cp)
+                        fit -= fit % self.cp
+                    if fit >= t_floor and not crosses(fit):
+                        T = fit
+                if crosses(T):
                     raise ValueError(
                         f"prefill append at history {qmax} cannot fit a "
                         f"{T}-token padded chunk inside max_seq_len {S}"
                         + (f" (cp={self.cp}: a rank's local log is at "
                            f"{lmax}/{s_local})" if self.cp > 1 else "")
-                        + "; prefill near-capacity slots in a separate "
-                        "call or raise max_seq_len")
+                        + "; the request exceeds the slot's remaining "
+                        "capacity — raise max_seq_len or finish the slot")
             token_ids = np.zeros((B, T), np.int32)
             for slot, p in zip(slots, prompts):
                 chunk = p[offset:offset + chunk_lens[slot]]

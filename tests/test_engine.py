@@ -205,3 +205,42 @@ def test_multiround_append_near_capacity_matches_flat_replay(rng):
     e.prefill([toks[:8]], slots=[0])          # now at 64 = max_seq_len
     with _pytest.raises(ValueError, match="cannot fit"):
         e.prefill([[1]], slots=[0])
+
+
+def test_prefill_exact_fit_tail_and_mixed_batch_split(rng):
+    """r4 review: (a) an append that FITS but has no power-of-two bucket
+    below the remaining room must be served with an exact-fit tail
+    bucket (13 tokens into 14 remaining rows); (b) a mixed batch of a
+    near-capacity append and a long fresh admission must split into
+    separate calls instead of refusing."""
+    from llm_inference_engine_tpu.config import EngineConfig, get_config
+    from llm_inference_engine_tpu.models.weights import init_dummy_params
+    from llm_inference_engine_tpu.runtime.engine import InferenceEngine
+    cfg = get_config("debug")
+    params = init_dummy_params(cfg, seed=0)
+
+    # (a) exact-fit tail
+    eng = EngineConfig(max_batch_size=1, max_seq_len=64, max_prefill_len=16,
+                       kernels="xla")
+    toks = rng.integers(0, cfg.vocab_size, size=63).tolist()
+    e = InferenceEngine(cfg, eng, params)
+    e.prefill([toks[:50]])
+    got = np.asarray(e.prefill([toks[50:63]]))        # 13 @ history 50
+    e2 = InferenceEngine(cfg, eng, params)
+    want = np.asarray(e2.prefill([toks]))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    # (b) mixed near-capacity append + long admission in ONE call
+    eng2 = EngineConfig(max_batch_size=2, max_seq_len=64,
+                        max_prefill_len=32, kernels="xla")
+    e3 = InferenceEngine(cfg, eng2, params)
+    a = rng.integers(0, cfg.vocab_size, size=44).tolist()
+    b = rng.integers(0, cfg.vocab_size, size=32).tolist()
+    e3.prefill([a[:40]], slots=[0])
+    got = np.asarray(e3.prefill([a[40:44], b], slots=[0, 1]))
+    e4 = InferenceEngine(cfg, eng2, params)
+    e4.prefill([a[:40]], slots=[0])
+    w0 = np.asarray(e4.prefill([a[40:44]], slots=[0]))
+    w1 = np.asarray(e4.prefill([b], slots=[1]))
+    np.testing.assert_allclose(got[0], w0[0], atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(got[1], w1[1], atol=2e-4, rtol=2e-4)
