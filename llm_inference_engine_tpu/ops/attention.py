@@ -780,15 +780,21 @@ def attention_decode_fused_mxu(q, k_new, v_new, k_cache, v_cache, q_start,
         window=window)
 
 
-def can_fuse_decode_mxu(q_shape, cache, kernels: str) -> bool:
-    """Fused MXU decode gate: one new token, stacked cache in bf16 or
-    embedded-int8 form, tile-aligned dims, compiled Pallas."""
+def fuse_decode_shapes_ok(q_shape, cache) -> bool:
+    """Shape half of the fused-decode gate (backend-independent, so
+    tests can pin that every production preset qualifies)."""
     B, T, H, D = q_shape
     Kst = cache.k.shape[3]
     K = Kst - EMBED_PAD if cache.embedded_scales else Kst
     return (T == 1 and H % K == 0 and H % 8 == 0 and D % 128 == 0
             and Kst % 8 == 0
-            and (not cache.quantized or cache.embedded_scales)
+            and (not cache.quantized or cache.embedded_scales))
+
+
+def can_fuse_decode_mxu(q_shape, cache, kernels: str) -> bool:
+    """Fused MXU decode gate: one new token, stacked cache in bf16 or
+    embedded-int8 form, tile-aligned dims, compiled Pallas."""
+    return (fuse_decode_shapes_ok(q_shape, cache)
             and use_pallas(kernels) and not pallas_interpret())
 
 

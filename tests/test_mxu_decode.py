@@ -139,3 +139,30 @@ def test_fused_mxu_decode_write_and_attend(rng):
         jnp.asarray(q), jnp.asarray(k2), jnp.asarray(np.asarray(v2)),
         jnp.asarray(hist), jnp.asarray(kv_len), layer=ly))
     np.testing.assert_allclose(np.asarray(out), want, **TOL)
+
+
+
+def test_fused_decode_gate_covers_production_configs():
+    """Every shipped model preset (with the engine's tile-padded cache
+    where needed) must satisfy the fused MXU write+attend decode path's
+    SHAPE gate — a False gate silently falls back to the slower
+    write-then-attend chain (the silent-fallback class of the r4 13B
+    matmul cliff). The backend half of the gate is environment-dependent
+    and tested on hardware."""
+    from llm_inference_engine_tpu.config import PRESETS
+    from llm_inference_engine_tpu.ops import kv_cache as kvc
+    from llm_inference_engine_tpu.ops.attention import fuse_decode_shapes_ok
+
+    for name, cfg in PRESETS.items():
+        if name == "debug":
+            continue
+        for kv_int8 in (False, True):
+            # the engine pads small-head models up to the (8, 128) tile
+            cache = kvc.new_kv_cache(
+                2, 8, cfg.num_kv_heads, 64, cfg.head_dim,
+                quantized=kv_int8, embedded=kv_int8 or None,
+                pad_to_tiles=True)
+            Kc, Dc = cache.num_kv_heads, cache.k.shape[-1]
+            q_shape = (8, 1, Kc * (cfg.num_heads // cfg.num_kv_heads), Dc)
+            assert fuse_decode_shapes_ok(q_shape, cache), (
+                name, kv_int8, q_shape, cache.k.shape)
