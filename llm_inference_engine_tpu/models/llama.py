@@ -149,18 +149,25 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
         me = jax.lax.axis_index(cp.axis)
         start, count, _ = cp_write_plan(cache.llen, q_start, kv_len, me,
                                         cp.n, T)
-        tmp = kvc.KVCache(k=cache.k, v=cache.v, lengths=cache.lengths)
+        tmp = kvc.KVCache(k=cache.k, v=cache.v, lengths=cache.lengths,
+                          k_scale=cache.k_scale, v_scale=cache.v_scale,
+                          embedded_scales=cache.embedded_scales)
         tmp = kvc.update_cache_at_layer(tmp, layer_idx, k_new, v_new, start,
                                         new_len=count, kernels=kernels)
-        cache = dataclasses.replace(cache, k=tmp.k, v=tmp.v)
+        cache = dataclasses.replace(cache, k=tmp.k, v=tmp.v,
+                                    k_scale=tmp.k_scale, v_scale=tmp.v_scale)
         # rows valid after this layer's write: the local log tail moved by
         # ``count`` (kv_pos was already appended by the cp_engine wrapper)
         s_local = cache.k.shape[2]
         kv_hi_l = min(s_local, kv_hi) if kv_hi else s_local
-        k_loc = jax.lax.dynamic_index_in_dim(
-            cache.k, layer_idx, 0, keepdims=False)[:, :kv_hi_l]
-        v_loc = jax.lax.dynamic_index_in_dim(
-            cache.v, layer_idx, 0, keepdims=False)[:, :kv_hi_l]
+
+        def _layer_rows(arr):
+            return (None if arr is None else jax.lax.dynamic_index_in_dim(
+                arr, layer_idx, 0, keepdims=False)[:, :kv_hi_l])
+
+        k_loc, v_loc = _layer_rows(cache.k), _layer_rows(cache.v)
+        ks_loc, vs_loc = (_layer_rows(cache.k_scale),
+                          _layer_rows(cache.v_scale))
         kv_pos = cache.kv_pos[:, :kv_hi_l]
         llen_me = cache.llen[:, me] + count
         kv_valid = (jnp.arange(kv_hi_l, dtype=jnp.int32)[None, :]
@@ -169,13 +176,16 @@ def _layer_step(cfg: ModelConfig, eng: EngineConfig, x, layer, layer_idx,
             attn_out = split_kv_decode_attention(
                 q, k_loc, v_loc, positions, kv_pos, kv_valid, cp.axis,
                 sm_scale=sm_scale, window=cfg.sliding_window,
-                out_dtype=x.dtype, kernels=kernels)
+                out_dtype=x.dtype, kernels=kernels,
+                k_scale=ks_loc, v_scale=vs_loc,
+                embedded_kv=cache.embedded_scales)
         else:
             attn_out = ring_attention(
                 q, k_loc, v_loc, positions, kv_pos, kv_valid, cp.axis,
                 cp.n, sm_scale=sm_scale, causal=True,
                 window=cfg.sliding_window, out_dtype=x.dtype,
-                kernels=kernels)
+                kernels=kernels, k_scale=ks_loc, v_scale=vs_loc,
+                embedded_kv=cache.embedded_scales)
     elif isinstance(cache, PagedKVCache):
         # paged path: block-table writes + table-indirected attention
         # (same kernels, paged index maps — ops/paged_kv.py)

@@ -75,7 +75,9 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
                           causal: bool = True,
                           window: Optional[int] = None,
                           block_kv: Optional[int] = 512,
-                          kernels: str = "auto"):
+                          kernels: str = "auto",
+                          k_scale=None, v_scale=None,
+                          embedded_kv: bool = False):
     """Online-softmax partials of a query chunk vs ONE kv chunk.
 
     ``block_kv``: the kv chunk is processed in blocks of this many rows
@@ -98,6 +100,13 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
               slot's local rows map to different positions —
               parallel/cp_cache.py)
     kv_valid: [B, Tk] bool    kv row holds a real token (pos < kv_len)
+
+    INT8 kv (the quantized CP log, parallel/cp_cache.py): either
+    ``k_scale``/``v_scale`` [B, Tk, K] f32 per-(token, head) scales, or
+    ``embedded_kv=True`` with k/v int8 [B, Tk, K+EMBED_PAD, D] carrying
+    log2-coded scale rows (ops.kv_cache.quantize_kv_embedded layout).
+    Dequantization happens per block inside the scan body, so HBM traffic
+    stays int8 (XLA fuses the cast+scale into the block's attention).
 
     Returns (acc, m, l):
       acc [B, Tq, H, D] f32 — sum_j exp(s_j - m) * v_j  (unnormalized)
@@ -124,7 +133,7 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
     # works around) — decode-shaped chunks (Tq=1, MHA) stay on XLA
     from llm_inference_engine_tpu.utils import pallas_interpret
     if (kernels == "pallas" and D % 128 == 0 and K % 8 == 0
-            and Tq * (H // K) >= 8):
+            and Tq * (H // K) >= 8 and k_scale is None and not embedded_kv):
         from llm_inference_engine_tpu.ops.attention import (
             attention_stats_pallas)
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
@@ -137,7 +146,8 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
     if block_kv is None or Tk <= block_kv:
         return _chunk_stats_dense(q, k, v, q_pos, kv_pos_b, kv_valid,
                                   sm_scale=sm_scale, causal=causal,
-                                  window=window)
+                                  window=window, k_scale=k_scale,
+                                  v_scale=v_scale, embedded_kv=embedded_kv)
 
     pad = (-Tk) % block_kv
     if pad:
@@ -149,33 +159,49 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
                            constant_values=-1)
         kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad)),
                            constant_values=False)
+        if k_scale is not None:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, pad), (0, 0)),
+                              constant_values=1.0)
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, pad), (0, 0)),
+                              constant_values=1.0)
     nb = (Tk + pad) // block_kv
 
     def blocks(x):                            # [B, nb*bk, ...] -> xs
         return jnp.moveaxis(
             x.reshape(B, nb, block_kv, *x.shape[2:]), 1, 0)
 
-    def body(carry, xs):
-        kb, vb, pb, valb = xs
+    xs = (blocks(k), blocks(v), blocks(kv_pos_b), blocks(kv_valid),
+          blocks(k_scale) if k_scale is not None else None,
+          blocks(v_scale) if v_scale is not None else None)
+
+    def body(carry, xs_b):
+        kb, vb, pb, valb, ksb, vsb = xs_b
         a2, m2, l2 = _chunk_stats_dense(q, kb, vb, q_pos, pb, valb,
                                         sm_scale=sm_scale, causal=causal,
-                                        window=window)
+                                        window=window, k_scale=ksb,
+                                        v_scale=vsb, embedded_kv=embedded_kv)
         return merge_stats(*carry, a2, m2, l2), None
 
     # neutral online-softmax element, derived from q so its axis-varying
     # type matches the block outputs under shard_map's vma tracking
     qf0 = q.astype(jnp.float32) * 0.0
     init = (qf0, qf0[..., 0] + _NEG, qf0[..., 0])
-    (acc, m, l), _ = jax.lax.scan(
-        body, init, (blocks(k), blocks(v), blocks(kv_pos_b),
-                     blocks(kv_valid)))
+    (acc, m, l), _ = jax.lax.scan(body, init, xs)
     return acc, m, l
 
 
 def _chunk_stats_dense(q, k, v, q_pos, kv_pos_b, kv_valid, *,
-                       sm_scale, causal, window):
+                       sm_scale, causal, window, k_scale=None, v_scale=None,
+                       embedded_kv=False):
     """Single-block dense stats (see chunk_attention_stats)."""
     B, Tq, H, D = q.shape
+    if embedded_kv:
+        from llm_inference_engine_tpu.ops.kv_cache import (
+            EMBED_PAD, decode_embedded_scales)
+        K = k.shape[2] - EMBED_PAD
+        k_scale = decode_embedded_scales(k[:, :, K, :], K)   # [B, Tk, K]
+        v_scale = decode_embedded_scales(v[:, :, K, :], K)
+        k, v = k[:, :, :K], v[:, :, :K]
     K = k.shape[2]
     G = H // K
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
@@ -183,6 +209,9 @@ def _chunk_stats_dense(q, k, v, q_pos, kv_pos_b, kv_valid, *,
     qf = q.astype(jnp.float32).reshape(B, Tq, K, G, D)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale.astype(jnp.float32)[..., None]
+        vf = vf * v_scale.astype(jnp.float32)[..., None]
 
     s = jnp.einsum("bikgd,btkd->bkgit", qf, kf) * scale   # [B,K,G,Tq,Tk]
     visible = kv_valid[:, None, :]                        # [B, 1, Tk]
@@ -227,17 +256,19 @@ def _finalize(acc, l):
 def ring_attention(q, k, v, q_pos, kv_pos, kv_valid, axis_name: str,
                    num_shards: int, *, sm_scale: Optional[float] = None,
                    causal: bool = True, window: Optional[int] = None,
-                   out_dtype=None, kernels: str = "auto"):
+                   out_dtype=None, kernels: str = "auto",
+                   k_scale=None, v_scale=None, embedded_kv: bool = False):
     """Ring attention over sequence-sharded q AND kv. Call inside
     ``shard_map`` with everything already local:
 
     q [B, Tq_local, H, D], k/v [B, Tk_local, K, D], q_pos [B, Tq_local],
     kv_pos [Tk_local], kv_valid [B, Tk_local].
 
-    KV chunks (values + their absolute positions + validity) rotate
-    ``num_shards - 1`` times via ppermute; partials merge locally. The
-    loop is a compile-time unroll so XLA overlaps hop i+1's ppermute with
-    hop i's attention compute.
+    KV chunks (values + their absolute positions + validity — and, for a
+    quantized log, the scales) rotate ``num_shards - 1`` times via
+    ppermute; partials merge locally. The loop is a compile-time unroll so
+    XLA overlaps hop i+1's ppermute with hop i's attention compute. An
+    int8 log rotates int8 rows: half the ICI bytes of a bf16 ring.
     """
     perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
 
@@ -246,14 +277,16 @@ def ring_attention(q, k, v, q_pos, kv_pos, kv_valid, axis_name: str,
 
     acc, m, l = chunk_attention_stats(
         q, k, v, q_pos, kv_pos, kv_valid, sm_scale=sm_scale,
-        causal=causal, window=window, kernels=kernels)
-    cur = (k, v, kv_pos, kv_valid)
+        causal=causal, window=window, kernels=kernels,
+        k_scale=k_scale, v_scale=v_scale, embedded_kv=embedded_kv)
+    cur = (k, v, kv_pos, kv_valid, k_scale, v_scale)
     for _ in range(num_shards - 1):
         cur = jax.tree.map(rotate, cur)
-        kc, vc, pc, valc = cur
+        kc, vc, pc, valc, ksc, vsc = cur
         acc2, m2, l2 = chunk_attention_stats(
             q, kc, vc, q_pos, pc, valc, sm_scale=sm_scale,
-            causal=causal, window=window, kernels=kernels)
+            causal=causal, window=window, kernels=kernels,
+            k_scale=ksc, v_scale=vsc, embedded_kv=embedded_kv)
         acc, m, l = merge_stats(acc, m, l, acc2, m2, l2)
     out = _finalize(acc, l)
     return out.astype(out_dtype or q.dtype)
@@ -263,7 +296,9 @@ def split_kv_decode_attention(q, k, v, q_pos, kv_pos, kv_valid,
                               axis_name: str, *,
                               sm_scale: Optional[float] = None,
                               window: Optional[int] = None,
-                              out_dtype=None, kernels: str = "auto"):
+                              out_dtype=None, kernels: str = "auto",
+                              k_scale=None, v_scale=None,
+                              embedded_kv: bool = False):
     """Flash-decoding over a sequence-sharded KV cache (Sq small, usually
     1): every rank attends its LOCAL shard, partials combine with one pmax
     + two psums — no ring, minimum latency, aggregate HBM bandwidth.
@@ -272,7 +307,8 @@ def split_kv_decode_attention(q, k, v, q_pos, kv_pos, kv_valid,
     """
     acc, m, l = chunk_attention_stats(
         q, k, v, q_pos, kv_pos, kv_valid, sm_scale=sm_scale,
-        causal=True, window=window, kernels=kernels)
+        causal=True, window=window, kernels=kernels,
+        k_scale=k_scale, v_scale=v_scale, embedded_kv=embedded_kv)
     m_g = jax.lax.pmax(m, axis_name)
     w = jnp.exp(m - m_g)
     acc_g = jax.lax.psum(acc * w[..., None], axis_name)

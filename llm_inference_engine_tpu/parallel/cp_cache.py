@@ -64,13 +64,28 @@ class CPCache:
     (sharded on axis 2 over ``seq``); kv_pos: [B, S] absolute position per
     row (-1 = empty, sharded with the rows); llen: [B, n] per-rank row
     counts (replicated); lengths: [B] global valid tokens (same contract
-    as ops.kv_cache.KVCache.lengths)."""
+    as ops.kv_cache.KVCache.lengths).
+
+    INT8 variants (VERDICT r4 #4 — CP exists to scale context capacity,
+    so its log must be quantizable like the slot cache is):
+    - separate scales: k_scale/v_scale [L, B, S, K] f32 per-(token, head)
+      (portable — any K/D, the CPU-mesh test shapes included);
+    - embedded scales (``embedded_scales``): rows are
+      [L, B, S, K+EMBED_PAD, D] int8 with the log2-coded scale row of
+      ops.kv_cache.quantize_kv_embedded — values + scales in one aliased
+      DMA on TPU. Either way the ring's ppermute and the split-KV decode
+      read int8 rows: HBM *and* ICI traffic halve together.
+    """
 
     k: jax.Array
     v: jax.Array
     kv_pos: jax.Array
     llen: jax.Array
     lengths: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+    embedded_scales: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
 
     @property
     def num_layers(self) -> int:
@@ -86,31 +101,67 @@ class CPCache:
 
     @property
     def num_kv_heads(self) -> int:
-        return self.k.shape[3]
+        from llm_inference_engine_tpu.ops.kv_cache import EMBED_PAD
+        return self.k.shape[3] - (EMBED_PAD if self.embedded_scales else 0)
 
     @property
     def num_ranks(self) -> int:
         return self.llen.shape[1]
 
-    # the engine treats quantized/embedded/paged as orthogonal cache
-    # capabilities; CP composes with the plain bf16 slot layout only for
-    # now (docs/ADR-composition-matrix.md)
-    quantized = False
-    embedded_scales = False
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None or self.embedded_scales
 
 
 def new_cp_cache(num_layers: int, batch_size: int, num_kv_heads: int,
                  max_seq_len: int, head_dim: int, cp: int,
-                 dtype=jnp.bfloat16) -> CPCache:
+                 dtype=jnp.bfloat16, quantized: bool = False,
+                 embedded: Optional[bool] = None,
+                 shard_groups: int = 1) -> CPCache:
+    """``quantized`` stores the log int8 (halving per-rank KV bytes — the
+    capacity CP exists to multiply). ``embedded=None`` auto-selects the
+    embedded-scale layout exactly as ops.kv_cache.new_kv_cache does;
+    ``shard_groups`` (the tensor-parallel shard count) applies the
+    embedded scale rows PER model-axis shard so the local view inside
+    shard_map is a self-contained embedded layout."""
     if max_seq_len % cp:
         raise ValueError(f"max_seq_len {max_seq_len} % cp {cp}")
+    if num_kv_heads % shard_groups:
+        raise ValueError(f"num_kv_heads {num_kv_heads} % shard_groups "
+                         f"{shard_groups}")
+    kv_pos = jnp.full((batch_size, max_seq_len), -1, jnp.int32)
+    llen = jnp.zeros((batch_size, cp), jnp.int32)
+    lengths = jnp.zeros((batch_size,), jnp.int32)
+    if quantized:
+        from llm_inference_engine_tpu.ops.kv_cache import (
+            EMBED_PAD, embedded_supported)
+        from llm_inference_engine_tpu.utils import (pallas_interpret,
+                                                    use_pallas)
+        k_loc = num_kv_heads // shard_groups
+        if embedded is None:
+            embedded = (embedded_supported(k_loc, head_dim)
+                        and use_pallas("auto") and not pallas_interpret())
+        if embedded:
+            shape = (num_layers, batch_size, max_seq_len,
+                     shard_groups * (k_loc + EMBED_PAD), head_dim)
+            return CPCache(jnp.zeros(shape, jnp.int8),
+                           jnp.zeros(shape, jnp.int8),
+                           kv_pos, llen, lengths, embedded_scales=True)
+        shape = (num_layers, batch_size, max_seq_len, num_kv_heads,
+                 head_dim)
+        sshape = shape[:-1]
+        return CPCache(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape, jnp.int8),
+                       kv_pos, llen, lengths,
+                       k_scale=jnp.ones(sshape, jnp.float32),
+                       v_scale=jnp.ones(sshape, jnp.float32))
     shape = (num_layers, batch_size, max_seq_len, num_kv_heads, head_dim)
     return CPCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
-        kv_pos=jnp.full((batch_size, max_seq_len), -1, jnp.int32),
-        llen=jnp.zeros((batch_size, cp), jnp.int32),
-        lengths=jnp.zeros((batch_size,), jnp.int32),
+        kv_pos=kv_pos,
+        llen=llen,
+        lengths=lengths,
     )
 
 

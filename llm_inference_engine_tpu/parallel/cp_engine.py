@@ -49,20 +49,29 @@ except ImportError:  # pragma: no cover
 __all__ = ["cp_cache_pspecs", "make_cp_forward"]
 
 
-def cp_cache_pspecs() -> CPCache:
+def cp_cache_pspecs(cache: CPCache | None = None) -> CPCache:
     """Rows over seq, batch over data, kv heads over model; the tiny
-    [B, n] llen stays replicated (updated in lockstep on every rank)."""
+    [B, n] llen stays replicated (updated in lockstep on every rank).
+    Pass the cache (or any example with the same variant fields) so the
+    spec tree matches structurally: int8 logs carry [L, B, S, K] scale
+    planes sharded with their rows, and the embedded flag is a static
+    treedef field."""
+    quant = cache is not None and cache.k_scale is not None
     return CPCache(
         k=P(None, DATA_AXIS, SEQ_AXIS, MODEL_AXIS, None),
         v=P(None, DATA_AXIS, SEQ_AXIS, MODEL_AXIS, None),
         kv_pos=P(DATA_AXIS, SEQ_AXIS),
         llen=P(DATA_AXIS, None),
         lengths=P(DATA_AXIS),
+        k_scale=P(None, DATA_AXIS, SEQ_AXIS, MODEL_AXIS) if quant else None,
+        v_scale=P(None, DATA_AXIS, SEQ_AXIS, MODEL_AXIS) if quant else None,
+        embedded_scales=(cache.embedded_scales if cache is not None
+                         else False),
     )
 
 
 def make_cp_forward(config: ModelConfig, engine_config: EngineConfig,
-                    mesh: Mesh, params_example):
+                    mesh: Mesh, params_example, cache_example=None):
     """forward_hidden over a (data, seq, model) mesh with a CPCache.
 
     Same signature as parallel.sharding.make_sharded_forward's result:
@@ -77,7 +86,7 @@ def make_cp_forward(config: ModelConfig, engine_config: EngineConfig,
     spec = CPSpec(axis=SEQ_AXIS, n=n)
 
     p_specs = param_pspecs(params_example)
-    c_specs = cp_cache_pspecs()
+    c_specs = cp_cache_pspecs(cache_example)
 
     def local_fwd(params, cache, token_ids, q_start, kv_len, kv_hi):
         B, T = token_ids.shape

@@ -87,28 +87,34 @@ class InferenceEngine:
         if self.cp > 1:
             # context parallelism: per-rank append-log cache + ring/split-KV
             # attention over the mesh's seq axis (parallel/cp_engine.py).
-            # Composes with dp/tp; paged and quantized-cache layouts are
-            # adjudicated out of scope (docs/ADR-composition-matrix.md).
+            # Composes with dp/tp AND with the int8 KV log (separate-scale
+            # or embedded variant, parallel/cp_cache.py — cp=N multiplies
+            # the *quantized* context capacity, VERDICT r4 #4); paged
+            # stays adjudicated out (docs/ADR-composition-matrix.md).
             if self.paged:
                 raise NotImplementedError(
                     "cp>1 + paged KV: the page pool is a single-chip memory "
                     "manager; CP's capacity axis replaces it "
                     "(docs/ADR-composition-matrix.md)")
-            if eng.kv_cache_dtype is not None:
+            if eng.kv_cache_dtype not in (None, jnp.int8):
                 raise NotImplementedError(
-                    "cp>1 + quantized KV cache: the CP log stores bf16 "
-                    "(docs/ADR-composition-matrix.md)")
+                    f"cp>1 supports bf16 or int8 KV logs, not "
+                    f"{eng.kv_cache_dtype_name}")
             from llm_inference_engine_tpu.parallel import cp_engine, sharding
+            from llm_inference_engine_tpu.parallel.mesh import MODEL_AXIS
             from llm_inference_engine_tpu.parallel.cp_cache import new_cp_cache
             cache = new_cp_cache(
                 config.num_layers, eng.max_batch_size, config.num_kv_heads,
-                eng.max_seq_len, config.head_dim, self.cp, dtype=config.dtype)
+                eng.max_seq_len, config.head_dim, self.cp, dtype=config.dtype,
+                quantized=eng.kv_cache_dtype == jnp.int8,
+                shard_groups=mesh.shape[MODEL_AXIS])
             params = sharding.shard_params(params, mesh)
             from jax.sharding import NamedSharding
             cache = jax.tree.map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-                cache, cp_engine.cp_cache_pspecs())
-            fwd = cp_engine.make_cp_forward(cfg, eng, mesh, params)
+                cache, cp_engine.cp_cache_pspecs(cache))
+            fwd = cp_engine.make_cp_forward(cfg, eng, mesh, params,
+                                            cache_example=cache)
 
             self.params = params
             self.cache = cache

@@ -243,3 +243,109 @@ def test_pallas_stats_through_ring_matches_flash():
     want = attention_xla(q, k, v, q_start, kv_len, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# INT8 kv chunks (the quantized CP log, parallel/cp_cache.py — r4 #4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("blockwise", [False, True])
+def test_chunk_stats_separate_scales_match_dequant(blockwise):
+    """int8 kv + [B, Tk, K] scales == stats on the dequantized bf16 rows
+    (identical compute order, so the match is tight)."""
+    from llm_inference_engine_tpu.ops.kv_cache import _quantize_kv
+    key = jax.random.PRNGKey(0)
+    B, Tq, Tk, K, G, D = 2, 4, 24, 2, 2, 16
+    q = _rand(key, (B, Tq, K * G, D))
+    k = _rand(jax.random.fold_in(key, 1), (B, Tk, K, D))
+    v = _rand(jax.random.fold_in(key, 2), (B, Tk, K, D))
+    qk, ks = _quantize_kv(k)
+    qv, vs = _quantize_kv(v)
+    q_pos = jnp.broadcast_to(jnp.arange(Tq)[None] + 10, (B, Tq))
+    kv_pos = jnp.broadcast_to(jnp.arange(Tk)[None], (B, Tk))
+    kv_valid = kv_pos < 14
+    bk = 8 if blockwise else None
+    got = cp.chunk_attention_stats(q, qk, qv, q_pos, kv_pos, kv_valid,
+                                   k_scale=ks, v_scale=vs, block_kv=bk)
+    kd = qk.astype(jnp.float32) * ks[..., None]
+    vd = qv.astype(jnp.float32) * vs[..., None]
+    want = cp.chunk_attention_stats(q, kd, vd, q_pos, kv_pos, kv_valid,
+                                    block_kv=bk)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("blockwise", [False, True])
+def test_chunk_stats_embedded_match_dequant(blockwise):
+    """Embedded-scale int8 rows (ops.kv_cache.quantize_kv_embedded layout)
+    == stats on explicitly dequantized rows."""
+    from llm_inference_engine_tpu.ops.kv_cache import (
+        EMBED_PAD, decode_embedded_scales, quantize_kv_embedded)
+    key = jax.random.PRNGKey(3)
+    B, Tq, Tk, K, G, D = 2, 3, 16, 8, 1, 128
+    q = _rand(key, (B, Tq, K * G, D))
+    k = _rand(jax.random.fold_in(key, 1), (B, Tk, K, D))
+    v = _rand(jax.random.fold_in(key, 2), (B, Tk, K, D))
+    ek = quantize_kv_embedded(k)                     # [B, Tk, K+PAD, D]
+    ev = quantize_kv_embedded(v)
+    assert ek.shape[2] == K + EMBED_PAD and ek.dtype == jnp.int8
+    q_pos = jnp.broadcast_to(jnp.arange(Tq)[None] + 6, (B, Tq))
+    kv_pos = jnp.broadcast_to(jnp.arange(Tk)[None], (B, Tk))
+    kv_valid = kv_pos < 9
+    bk = 8 if blockwise else None
+    got = cp.chunk_attention_stats(q, ek, ev, q_pos, kv_pos, kv_valid,
+                                   embedded_kv=True, block_kv=bk)
+    ksc = decode_embedded_scales(ek[:, :, K, :], K)
+    vsc = decode_embedded_scales(ev[:, :, K, :], K)
+    kd = ek[:, :, :K].astype(jnp.float32) * ksc[..., None]
+    vd = ev[:, :, :K].astype(jnp.float32) * vsc[..., None]
+    want = cp.chunk_attention_stats(q, kd, vd, q_pos, kv_pos, kv_valid,
+                                    block_kv=bk)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_ring_attention_int8_scales_rotate():
+    """Ring over a 2-rank mesh with a separate-scale int8 log: scales must
+    rotate with their kv chunks (a mismatch would show immediately)."""
+    from llm_inference_engine_tpu.ops.kv_cache import _quantize_kv
+    mesh = _mesh(2)
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    import functools
+    key = jax.random.PRNGKey(7)
+    B, T, K, G, D = 2, 8, 2, 2, 16
+    q = _rand(key, (B, T, K * G, D))
+    k = _rand(jax.random.fold_in(key, 1), (B, T, K, D))
+    v = _rand(jax.random.fold_in(key, 2), (B, T, K, D))
+    qk, ks = _quantize_kv(k)
+    qv, vs = _quantize_kv(v)
+    kv_len = jnp.array([T, T - 3], jnp.int32)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq"),
+                  P(None, "seq"), P(None, "seq"), P()),
+        out_specs=P(None, "seq"))
+    def run(q_l, k_l, v_l, ks_l, vs_l, kv_len_):
+        i = jax.lax.axis_index("seq")
+        Tl = T // 2
+        q_pos = (i * Tl + jnp.arange(Tl, dtype=jnp.int32))[None, :] + 0 * \
+            kv_len_[:, None]
+        kv_pos = i * Tl + jnp.arange(Tl, dtype=jnp.int32)
+        kv_valid = kv_pos[None, :] < kv_len_[:, None]
+        return cp.ring_attention(q_l, k_l, v_l, q_pos, kv_pos, kv_valid,
+                                 "seq", 2, causal=True,
+                                 k_scale=ks_l, v_scale=vs_l)
+
+    got = np.asarray(run(q, qk, qv, ks, vs, kv_len))
+    kd = qk.astype(jnp.float32) * ks[..., None]
+    vd = qv.astype(jnp.float32) * vs[..., None]
+    q_start = jnp.zeros((B,), jnp.int32)
+    want = np.asarray(attention_xla(q, kd, vd, q_start, kv_len, causal=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)

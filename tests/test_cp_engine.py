@@ -159,7 +159,64 @@ def test_cp_guards_paged_and_quantized():
         InferenceEngine(CFG, EngineConfig(
             max_batch_size=4, max_seq_len=64, max_prefill_len=16,
             kernels="xla", cp=2, kv_layout="paged"), params)
-    with pytest.raises(NotImplementedError, match="quantized"):
+    with pytest.raises(NotImplementedError, match="bf16 or int8"):
         InferenceEngine(CFG, EngineConfig(
             max_batch_size=4, max_seq_len=64, max_prefill_len=16,
-            kernels="xla", cp=2, kv_cache_dtype_name="int8"), params)
+            kernels="xla", cp=2, kv_cache_dtype_name="float16"), params)
+
+
+# ---------------------------------------------------------------------------
+# INT8 KV log (VERDICT r4 #4: cp must multiply the QUANTIZED capacity too)
+# ---------------------------------------------------------------------------
+
+def test_cp2_int8_cache_is_int8(rng):
+    cpe = make_engine(cp=2, kv_cache_dtype_name="int8")
+    assert cpe.cache.k.dtype == jnp.int8
+    assert cpe.cache.quantized and cpe.cache.k_scale is not None
+    # same quantizer as the cp=1 slot cache -> bytes halve vs bf16 rows
+    assert cpe.cache.k.dtype.itemsize * 2 == jnp.dtype(jnp.bfloat16).itemsize
+
+
+def test_cp2_int8_prefill_logits_parity(rng):
+    """cp=2 int8 log vs cp=1 int8 slot cache: same per-(token, head)
+    absmax quantizer, so logits agree to fp-reassociation tolerance."""
+    base = make_engine(kv_cache_dtype_name="int8")
+    cpe = make_engine(cp=2, kv_cache_dtype_name="int8")
+    prompts = prompts_for(rng, [7, 16, 23, 3])
+    want = np.asarray(base.prefill(prompts))
+    got = np.asarray(cpe.prefill(prompts))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+
+def test_cp2_int8_generate_token_parity(rng):
+    base = make_engine(kv_cache_dtype_name="int8")
+    cpe = make_engine(cp=2, kv_cache_dtype_name="int8")
+    prompts = prompts_for(rng, [9, 17, 5, 12])
+    sp = SamplingParams(greedy=True, max_new_tokens=10)
+    want = base.generate(prompts, sp, eos_token_id=None)
+    got = cpe.generate(prompts, sp, eos_token_id=None)
+    assert got.token_ids == want.token_ids
+
+
+def test_cp2_int8_multiround_append_parity(rng):
+    base = make_engine(kv_cache_dtype_name="int8")
+    cpe = make_engine(cp=2, kv_cache_dtype_name="int8")
+    sp = SamplingParams(greedy=True, max_new_tokens=6)
+    r1 = prompts_for(rng, [8, 5, 14, 7])
+    want1 = base.generate(r1, sp, eos_token_id=None)
+    got1 = cpe.generate(r1, sp, eos_token_id=None)
+    assert got1.token_ids == want1.token_ids
+    r2 = prompts_for(rng, [6, 9, 4, 11])
+    want = np.asarray(base.prefill(r2))
+    got = np.asarray(cpe.prefill(r2))
+    np.testing.assert_allclose(got, want, atol=4e-4, rtol=4e-4)
+
+
+def test_cp2_int8_composes_with_tp(rng):
+    base = make_engine(kv_cache_dtype_name="int8")
+    cpe = make_engine(cp=2, tp=2, kv_cache_dtype_name="int8")
+    prompts = prompts_for(rng, [7, 13, 4, 9])
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+    want = base.generate(prompts, sp, eos_token_id=None)
+    got = cpe.generate(prompts, sp, eos_token_id=None)
+    assert got.token_ids == want.token_ids
