@@ -203,6 +203,140 @@ def quantize_params(params: Params, mode: str = "int8",
     return out
 
 
+#: tap dump name -> the matmul whose INPUT it is (models/llama._layer_step)
+_CAL_TAPS = {"attn_norm": "wqkv", "attn_ctx": "wo",
+             "ffn_in": "w_gate_up", "ffn_act": "w_down"}
+
+
+def calibrate_act_sq(config, params: Params, token_batches,
+                     engine_config=None) -> dict:
+    """Per-input-dim activation second moments for calibration-aware
+    quantization (ops.quant.search_clip).
+
+    Runs the REAL fp forward (models/llama.py) teacher-forced over
+    ``token_batches`` (a list of [B, T] int32 arrays) with the debug tap
+    capturing every matmul's input, and returns
+    ``{"wqkv"|"wo"|"w_gate_up"|"w_down": [L, in] f32}`` — E[x_i^2] per
+    layer per input dimension. Host-callback based, so it needs a backend
+    with callback support (CPU — where tools/quantize.py runs anyway).
+    """
+    import tempfile
+
+    import numpy as _np
+
+    from llm_inference_engine_tpu.config import EngineConfig
+    from llm_inference_engine_tpu.models import llama as _llama
+    from llm_inference_engine_tpu.ops import kv_cache as _kvc
+    from llm_inference_engine_tpu.utils import debug as _debug
+
+    L = config.num_layers
+    token_batches = [_np.asarray(t, _np.int32) for t in token_batches]
+    maxT = max(t.shape[1] for t in token_batches)
+    maxB = max(t.shape[0] for t in token_batches)
+    eng = engine_config or EngineConfig(
+        max_batch_size=maxB, max_seq_len=max(2 * maxT, 64), kernels="xla")
+
+    sums = {m: _np.zeros((L, d), _np.float64) for m, d in {
+        "wqkv": config.hidden_size, "wo": config.q_size,
+        "w_gate_up": config.hidden_size,
+        "w_down": config.intermediate_size}.items()}
+    counts = {m: _np.zeros((L,), _np.float64) for m in sums}
+
+    prev = _debug.tap
+    tmp = tempfile.mkdtemp(prefix="llm_tpu_cal_")
+    _debug.set_dump_dir(tmp, max_layers=L)
+    try:
+        if not _debug.tap.enabled:
+            raise RuntimeError(
+                "calibration needs host-callback support (run on CPU: "
+                "JAX_PLATFORMS=cpu / tools/quantize.py --platform cpu)")
+        for tb in token_batches:
+            B, T = tb.shape
+            cache = _kvc.new_kv_cache(L, B, config.num_kv_heads,
+                                      eng.max_seq_len, config.head_dim,
+                                      dtype=config.dtype,
+                                      pad_to_tiles=False)
+            q0 = jnp.zeros((B,), jnp.int32)
+            kv = jnp.full((B,), T, jnp.int32)
+            hidden, _ = _llama.decoder_forward(
+                config, eng, params, jnp.asarray(tb), cache, q0, kv)
+            hidden.block_until_ready()
+            # drain this batch's dumps into the running moments
+            for f in sorted(os.listdir(tmp)):
+                if not f.endswith(".npy"):
+                    continue
+                suffix = f.split("_", 1)[1]          # L{li}_{name}.npy
+                if not suffix.startswith("L"):
+                    os.unlink(os.path.join(tmp, f))
+                    continue
+                li_s, name = suffix[1:-4].split("_", 1)
+                mm = _CAL_TAPS.get(name)
+                li = int(li_s)
+                if mm is not None and li < L:
+                    x = _np.load(os.path.join(tmp, f)).astype(_np.float64)
+                    x2 = x.reshape(-1, x.shape[-1])
+                    sums[mm][li] += (x2 ** 2).sum(axis=0)
+                    counts[mm][li] += x2.shape[0]
+                os.unlink(os.path.join(tmp, f))
+    finally:
+        _debug.tap = prev
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out = {}
+    for mm, s in sums.items():
+        c = _np.maximum(counts[mm], 1.0)[:, None]
+        out[mm] = jnp.asarray((s / c).astype(_np.float32))
+    return out
+
+
+def quantize_params_calibrated(params: Params, act_sq: dict,
+                               mode: str = "int8", group_size: int = 128,
+                               quantize_lm_head: bool = True) -> Params:
+    """quantize_params with calibration-aware clip search (AWQ-lite,
+    ops.quant.search_clip): per-scale-block clip factors minimize the
+    activation-weighted weight error using ``act_sq`` from
+    :func:`calibrate_act_sq`. Output format is IDENTICAL to
+    quantize_params — only q/scales differ, so every runtime kernel and
+    loader works unchanged."""
+    from llm_inference_engine_tpu.ops.quant import search_clip
+    if mode in ("none", None, ""):
+        return params
+    out = {"embed": params["embed"], "final_norm": params["final_norm"]}
+    layers = dict(params["layers"])
+    for name in _QUANT_KEYS:
+        w = layers[name]
+        structured = w.ndim == 4
+        if structured:
+            w = w.reshape(w.shape[0], w.shape[1], -1)
+        d_l = act_sq.get(name)
+        qs, ss = [], []
+        for l in range(w.shape[0]):
+            clip = search_clip(w[l], mode, group_size,
+                               act_sq=None if d_l is None else d_l[l])
+            t = quantize_tensor(w[l], mode, group_size, clip=clip)
+            q, s = t.q, t.scale
+            if structured:
+                q = q.reshape(q.shape[0], 2, -1).transpose(1, 0, 2)
+                s = s.reshape(s.shape[0], 2, -1).transpose(1, 0, 2)
+            qs.append(q)
+            ss.append(s)
+        layers[name] = QuantizedTensor(
+            q=jnp.stack(qs), scale=jnp.stack(ss), mode=mode,
+            group_size=group_size)
+    out["layers"] = layers
+    if quantize_lm_head:
+        # no tap point for the lm head input (final_norm output); plain
+        # MSE clip search still beats RTN there
+        from llm_inference_engine_tpu.ops.quant import search_clip as _sc
+        clip = _sc(params["lm_head"], mode, group_size)
+        out["lm_head"] = quantize_tensor(params["lm_head"], mode,
+                                         group_size, clip=clip)
+    else:
+        out["lm_head"] = params["lm_head"]
+    return out
+
+
 def save_params(params: Params, path: str) -> None:
     """Write a params pytree (quantized or not) to one ``.npz`` file.
 

@@ -113,12 +113,21 @@ def _unpack_int4(packed: jax.Array, group_size: int = 0) -> jax.Array:
 
 
 def quantize_tensor(w: jax.Array, mode: str = "int8",
-                    group_size: int = 128) -> QuantizedTensor:
-    """Quantize a [in, out] weight (absmax, symmetric)."""
+                    group_size: int = 128,
+                    clip: jax.Array | None = None) -> QuantizedTensor:
+    """Quantize a [in, out] weight (absmax, symmetric).
+
+    ``clip``: optional per-scale-block clip factors in (0, 1] — [1, out]
+    for int8, [in/group, out] for int4 — shrinking the absmax before the
+    scale is derived (values beyond the clipped range saturate). Produced
+    by ``search_clip`` (calibration-aware quantization); the storage
+    format and the runtime kernels are unchanged."""
     w = w.astype(jnp.float32)
     k, n = w.shape
     if mode == "int8":
         absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)        # [1, out]
+        if clip is not None:
+            absmax = absmax * clip.reshape(1, n)
         scale = jnp.maximum(absmax, 1e-8) / 127.0
         q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         return QuantizedTensor(q=q, scale=scale, mode="int8",
@@ -128,12 +137,67 @@ def quantize_tensor(w: jax.Array, mode: str = "int8",
             raise ValueError(f"in dim {k} not divisible by group {group_size}")
         wg = w.reshape(k // group_size, group_size, n)
         absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)       # [G,1,N]
+        if clip is not None:
+            absmax = absmax * clip.reshape(k // group_size, 1, n)
         scale = jnp.maximum(absmax, 1e-8) / 7.0
         q = jnp.clip(jnp.round(wg / scale), -8, 7).astype(jnp.int8)
         q = q.reshape(k, n)
         return QuantizedTensor(q=_pack_int4(q, group_size), scale=scale[:, 0, :],
                                mode="int4", group_size=group_size)
     raise ValueError(f"unknown quant mode {mode!r}")
+
+
+_CLIP_GRID = tuple(1.0 - 0.05 * i for i in range(11))    # 1.00 .. 0.50
+
+
+def search_clip(w: jax.Array, mode: str = "int4", group_size: int = 128,
+                act_sq: jax.Array | None = None,
+                grid=_CLIP_GRID) -> jax.Array:
+    """Calibration-aware clip factors for ``quantize_tensor`` (AWQ-lite).
+
+    Round-to-nearest absmax scales spend the whole int4 range on a block's
+    single largest value; clipping the range trades saturation error on
+    the few outliers for finer resolution on everything else. This grid-
+    searches a clip factor per scale block minimizing the OUTPUT error of
+    the linear layer under the diagonal activation approximation:
+
+        E||x (w - w_hat)||^2  ~=  sum_i E[x_i^2] * (w - w_hat)_ij^2
+
+    so the objective is weight-space MSE weighted per input row by the
+    calibration activations' second moment ``act_sq`` [in] (uniform when
+    None — plain MSE clip search). This captures the activation-aware
+    part of AWQ (arXiv:2306.00978) without its weight-scaling transform,
+    and leaves the storage format and every runtime kernel untouched.
+
+    Returns clip factors: [1, out] (int8) or [in/group, out] (int4).
+    """
+    w = w.astype(jnp.float32)
+    k, n = w.shape
+    g = group_size if mode == "int4" else k
+    if k % g:
+        raise ValueError(f"in dim {k} not divisible by group {g}")
+    qmax = 7.0 if mode == "int4" else 127.0
+    wg = w.reshape(k // g, g, n)
+    d = (jnp.ones((k,), jnp.float32) if act_sq is None
+         else act_sq.astype(jnp.float32).reshape(k))
+    dg = d.reshape(k // g, g, 1)
+    absmax = jnp.maximum(jnp.max(jnp.abs(wg), axis=1, keepdims=True), 1e-8)
+
+    best_err = None
+    best_clip = None
+    for alpha in grid:
+        scale = absmax * alpha / qmax                       # [G, 1, N]
+        # same clip range as quantize_tensor applies (-qmax-1 .. qmax):
+        # the search must evaluate the exact quantizer it tunes
+        q = jnp.clip(jnp.round(wg / scale), -qmax - 1, qmax)
+        err = jnp.sum(dg * (wg - q * scale) ** 2, axis=1)   # [G, N]
+        if best_err is None:
+            best_err, best_clip = err, jnp.full_like(err, alpha)
+        else:
+            take = err < best_err
+            best_err = jnp.where(take, err, best_err)
+            best_clip = jnp.where(take, alpha, best_clip)
+    return best_clip if mode == "int4" else best_clip.reshape(1, n)
 
 
 def dequantize_tensor(t: QuantizedTensor) -> jax.Array:

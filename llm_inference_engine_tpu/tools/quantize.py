@@ -30,6 +30,14 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default="cpu",
                     help="jax platform for the quantization pass (cpu "
                          "default: no TPU needed, any model size)")
+    ap.add_argument("--calibrate", default=None, metavar="TOKENS",
+                    help="calibration-aware clip search (AWQ-lite, "
+                         "ops.quant.search_clip): path to an int32 .npy "
+                         "of token ids — [B, T] or flat (reshaped to "
+                         "[1, -1]) — used to weight the per-block clip "
+                         "objective by real activation statistics; "
+                         "'random:N' draws N random tokens (weight-only "
+                         "MSE would be the uniform-weights special case)")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,9 +54,26 @@ def main(argv=None) -> int:
     else:
         params = W.load_reference_bin(cfg, args.checkpoint)
     if args.mode != "none":
-        print(f"quantizing to {args.mode} (group {args.group_size}) ...",
-              flush=True)
-        params = W.quantize_params(params, args.mode, args.group_size)
+        if args.calibrate:
+            import numpy as np
+            if args.calibrate.startswith("random:"):
+                n = int(args.calibrate.split(":", 1)[1])
+                rng = np.random.default_rng(0)
+                toks = rng.integers(0, cfg.vocab_size, size=(1, n))
+            else:
+                toks = np.load(args.calibrate)
+                if toks.ndim == 1:
+                    toks = toks[None, :]
+            print(f"calibrating on {toks.shape} tokens ...", flush=True)
+            act_sq = W.calibrate_act_sq(cfg, params, [toks.astype(np.int32)])
+            print(f"quantizing to {args.mode} (group {args.group_size}, "
+                  f"clip search) ...", flush=True)
+            params = W.quantize_params_calibrated(params, act_sq, args.mode,
+                                                  args.group_size)
+        else:
+            print(f"quantizing to {args.mode} (group {args.group_size}) ...",
+                  flush=True)
+            params = W.quantize_params(params, args.mode, args.group_size)
     W.save_params(params, args.out)
     sz = os.path.getsize(args.out) / 1e9
     print(f"wrote {args.out} ({sz:.2f} GB)")

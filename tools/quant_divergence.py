@@ -105,16 +105,68 @@ def quantize_np(w: np.ndarray, mode: str, group_size: int = 128):
     return packed, scale[:, 0, :].astype(np.float32)
 
 
-def quantize_stacked_np(w: np.ndarray, mode: str, group_size: int):
+def search_clip_np(w: np.ndarray, group_size: int,
+                   act_sq: np.ndarray | None = None,
+                   grid=tuple(1.0 - 0.05 * i for i in range(11))):
+    """Host-side mirror of ops.quant.search_clip (int4): per-group clip
+    factors minimizing activation-weighted weight MSE."""
+    k, n = w.shape
+    g = group_size
+    wg = w.reshape(k // g, g, n)
+    d = (np.ones((k,), np.float32) if act_sq is None
+         else act_sq.astype(np.float32))
+    dg = d.reshape(k // g, g, 1)
+    absmax = np.maximum(np.abs(wg).max(axis=1, keepdims=True), 1e-8)
+    best_err = None
+    best_clip = None
+    for alpha in grid:
+        scale = absmax * alpha / 7.0
+        q = np.clip(np.round(wg / scale), -8, 7)
+        err = (dg * (wg - q * scale) ** 2).sum(axis=1)      # [G, N]
+        if best_err is None:
+            best_err, best_clip = err, np.full_like(err, alpha)
+        else:
+            take = err < best_err
+            best_err = np.where(take, err, best_err)
+            best_clip = np.where(take, alpha, best_clip)
+    return best_clip
+
+
+def quantize_np_cal(w: np.ndarray, group_size: int,
+                    act_sq: np.ndarray | None):
+    """int4 with the clip factors applied (mirror of
+    quantize_tensor(..., clip=search_clip(...)))."""
+    k, n = w.shape
+    g = k // group_size
+    clip = search_clip_np(w, group_size, act_sq)
+    wg = w.reshape(g, group_size, n)
+    absmax = np.maximum(np.abs(wg).max(axis=1, keepdims=True), 1e-8)
+    absmax = absmax * clip.reshape(g, 1, n)
+    scale = np.maximum(absmax, 1e-8) / 7.0
+    q = np.clip(np.round(wg / scale), -8, 7).astype(np.int8).reshape(k, n)
+    lo = q[0::2].astype(np.uint8) & 0xF
+    hi = (q[1::2].astype(np.uint8) & 0xF) << 4
+    packed = (lo | hi).astype(np.int8)
+    return packed, scale[:, 0, :].astype(np.float32)
+
+
+def quantize_stacked_np(w: np.ndarray, mode: str, group_size: int,
+                        act_sq: np.ndarray | None = None):
     """Host-side mirror of models/weights.quantize_params for one stacked
     weight: [L, in, out] -> (q [L, ...], s [L, ...]); the structured
-    gate|up stack [L, in, 2, I] -> ([L, 2, in', I], [L, 2, G|1, I])."""
+    gate|up stack [L, in, 2, I] -> ([L, 2, in', I], [L, 2, G|1, I]).
+    mode "int4cal": int4 with calibration-aware clip search (act_sq
+    [L, in] or None for plain MSE clipping)."""
     structured = w.ndim == 4
     if structured:
         w = w.reshape(w.shape[0], w.shape[1], -1)
     qs, ss = [], []
     for l in range(w.shape[0]):
-        q, s = quantize_np(w[l], mode, group_size)
+        if mode == "int4cal":
+            q, s = quantize_np_cal(
+                w[l], group_size, None if act_sq is None else act_sq[l])
+        else:
+            q, s = quantize_np(w[l], mode, group_size)
         if structured:
             q = q.reshape(q.shape[0], 2, -1).transpose(1, 0, 2)
             s = s.reshape(s.shape[0], 2, -1).transpose(1, 0, 2)
@@ -123,20 +175,24 @@ def quantize_stacked_np(w: np.ndarray, mode: str, group_size: int):
     return np.stack(qs), np.stack(ss)
 
 
-def build_device_params(np_params, cfg, mode: str, group_size: int):
+def build_device_params(np_params, cfg, mode: str, group_size: int,
+                        act_sq=None):
     """Move one variant to device: fp -> bf16 leaves; int8/int4 ->
     QuantizedTensor leaves in the exact pytree layout of
     models/weights.quantize_params (incl. the quantized lm_head the
-    serving engine defaults to)."""
+    serving engine defaults to). mode "int4cal" = int4 storage with
+    calibration-aware clip search (runtime-identical to int4)."""
     import jax.numpy as jnp
     from llm_inference_engine_tpu.ops.quant import QuantizedTensor
+
+    store_mode = "int4" if mode == "int4cal" else mode
 
     def dev(x, dtype=jnp.bfloat16):
         return jnp.asarray(x, dtype)
 
     def qt(q, s):
         return QuantizedTensor(q=dev(q, jnp.int8), scale=dev(s, jnp.float32),
-                               mode=mode, group_size=group_size)
+                               mode=store_mode, group_size=group_size)
 
     lay = np_params["layers"]
     layers = {"attn_norm": dev(lay["attn_norm"]),
@@ -146,9 +202,13 @@ def build_device_params(np_params, cfg, mode: str, group_size: int):
         if mode == "fp":
             layers[name] = dev(w)
         else:
-            layers[name] = qt(*quantize_stacked_np(w, mode, group_size))
+            d = None if act_sq is None else act_sq.get(name)
+            layers[name] = qt(*quantize_stacked_np(w, mode, group_size, d))
     if mode == "fp":
         lm_head = dev(np_params["lm_head"])
+    elif mode == "int4cal":
+        lm_head = qt(*quantize_np_cal(np_params["lm_head"], group_size,
+                                      None))
     else:
         lm_head = qt(*quantize_np(np_params["lm_head"], mode, group_size))
     return {
@@ -159,7 +219,53 @@ def build_device_params(np_params, cfg, mode: str, group_size: int):
     }
 
 
-def run_variant(cfg, eng, np_params, tokens, mode: str, group_size: int):
+def calibrate_subprocess(args, out_path: str) -> bool:
+    """Run the activation-stat calibration (models.weights.calibrate_act_sq
+    — the real fp forward with debug taps) in a JAX_PLATFORMS=cpu
+    subprocess: host callbacks do not work over the axon TPU tunnel, and
+    quantization-side calibration is a CPU pass anyway (tools/quantize.py
+    --platform cpu). Writes {wqkv,wo,w_gate_up,w_down}: [L, in] to
+    ``out_path``. Returns False (-> uniform-MSE clipping) on failure."""
+    import subprocess
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp, sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from tools.quant_divergence import synth_params_np
+from llm_inference_engine_tpu.config import get_config
+from llm_inference_engine_tpu.models.weights import calibrate_act_sq
+cfg = get_config({args.model!r})
+p = synth_params_np(cfg, {args.seed})
+params = {{"embed": jnp.asarray(p["embed"]),
+          "layers": {{k: jnp.asarray(v) for k, v in p["layers"].items()}},
+          "final_norm": jnp.asarray(p["final_norm"]),
+          "lm_head": jnp.asarray(p["lm_head"])}}
+rng = np.random.default_rng({args.seed} + 1)
+toks = rng.integers(0, cfg.vocab_size,
+                    size=(1, {args.calib_tokens})).astype(np.int32)
+act = calibrate_act_sq(cfg, params, [toks])
+np.savez({out_path!r}, **{{k: np.asarray(v) for k, v in act.items()}})
+print("calibration done")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=3600)
+        if r.returncode != 0:
+            print(f"# calibration subprocess failed "
+                  f"({r.stderr.strip().splitlines()[-1][:120] if r.stderr else '?'}) "
+                  f"-> uniform-MSE clip search", flush=True)
+            return False
+        return os.path.exists(out_path)
+    except Exception as e:  # noqa: BLE001
+        print(f"# calibration subprocess failed ({e}) -> uniform-MSE clip "
+              f"search", flush=True)
+        return False
+
+
+def run_variant(cfg, eng, np_params, tokens, mode: str, group_size: int,
+                act_sq=None):
     """Forward the whole [B, T] batch; return host fp32 logits [B, T, V]."""
     import jax
     import jax.numpy as jnp
@@ -167,7 +273,7 @@ def run_variant(cfg, eng, np_params, tokens, mode: str, group_size: int):
     from llm_inference_engine_tpu.ops import kv_cache as kvc
 
     B, T = tokens.shape
-    params = build_device_params(np_params, cfg, mode, group_size)
+    params = build_device_params(np_params, cfg, mode, group_size, act_sq)
     cache = kvc.new_kv_cache(cfg.num_layers, B, cfg.num_kv_heads, T,
                              cfg.head_dim, dtype=cfg.dtype)
     q_start = jnp.zeros((B,), jnp.int32)
@@ -225,10 +331,22 @@ def main():
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--modes", default="int8,int4")
+    ap.add_argument("--modes", default="int8,int4,int4cal",
+                    help="int4cal = int4 with calibration-aware clip "
+                         "search (AWQ-lite, VERDICT r4 #6) — same runtime "
+                         "kernels, different scales")
+    ap.add_argument("--calib-tokens", type=int, default=64,
+                    help="calibration forward length for int4cal (runs on "
+                         "CPU in a subprocess; 64 tokens of 7B ~ a minute)")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu — the "
+                         "JAX_PLATFORMS env var alone is overridden by "
+                         "the axon TPU plugin, use this flag)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from llm_inference_engine_tpu.config import EngineConfig, get_config
 
     cfg = get_config(args.model)
@@ -254,8 +372,27 @@ def main():
               "positions": int(tokens.size),
               "backend": jax.default_backend()}
     for mode in args.modes.split(","):
+        act_sq = None
+        if mode == "int4cal":
+            import tempfile
+            cal_path = os.path.join(tempfile.gettempdir(),
+                                    f"qdiv_act_sq_{args.model}_"
+                                    f"{args.seed}.npz")
+            if not os.path.exists(cal_path):
+                print(f"# calibrating activation stats "
+                      f"({args.calib_tokens} tokens, CPU subprocess)...",
+                      flush=True)
+                calibrate_subprocess(args, cal_path)
+            if os.path.exists(cal_path):
+                z = np.load(cal_path)
+                act_sq = {k: z[k] for k in z.files}
+                print("# int4cal: activation-weighted clip search",
+                      flush=True)
+            else:
+                print("# int4cal: uniform-MSE clip search (no act stats)",
+                      flush=True)
         q_logits, dt = run_variant(cfg, eng, np_params, tokens, mode,
-                                   args.group_size)
+                                   args.group_size, act_sq)
         report[mode] = divergence(fp_logits, q_logits)
         print(f"# {mode} forward done in {dt:.1f}s", flush=True)
     print(json.dumps(report, indent=2))
