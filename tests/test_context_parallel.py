@@ -190,61 +190,6 @@ def test_ring_prefill_parity_blockwise_inner():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
-
-@pytest.mark.parametrize("gqa,causal,window", [(1, True, None),
-                                               (2, True, 17),
-                                               (2, False, None)])
-def test_pallas_stats_kernel_matches_dense(gqa, causal, window):
-    """attention_stats_pallas (the MXU flash inner with EXPLICIT absolute
-    positions — the on-chip CP chunk compute) must match the dense stats
-    at tile-legal shapes: GQA, ragged Tq/Tk vs blocks, per-batch kv_pos,
-    scattered invalid rows, sliding windows."""
-    from llm_inference_engine_tpu.parallel.context_parallel import (
-        _chunk_stats_dense)
-
-    B, Tq, K, D, Tk = 2, 11, 8, 128, 37
-    H = K * gqa
-    keys = jax.random.split(jax.random.PRNGKey(11), 5)
-    q = _rand(keys[0], (B, Tq, H, D)).astype(jnp.float32)
-    k = _rand(keys[1], (B, Tk, K, D)).astype(jnp.float32)
-    v = _rand(keys[2], (B, Tk, K, D)).astype(jnp.float32)
-    q_pos = jax.random.randint(keys[3], (B, Tq), 0, 60)
-    kv_pos = jax.random.randint(keys[4], (B, Tk), 0, 60)
-    kv_valid = kv_pos % 7 != 0
-
-    want = _chunk_stats_dense(q, k, v, q_pos, kv_pos, kv_valid,
-                              sm_scale=0.11, causal=causal, window=window)
-    got = cp.chunk_attention_stats(q, k, v, q_pos, kv_pos, kv_valid,
-                                   sm_scale=0.11, causal=causal,
-                                   window=window, kernels="pallas")
-    for name, a, b in zip(("acc", "m", "l"), want, got):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=2e-5, atol=2e-5, err_msg=name)
-
-
-def test_pallas_stats_through_ring_matches_flash():
-    """Ring attention with the Pallas stats inner engaged end-to-end."""
-    mesh = _mesh(4)
-    B, T, K, D = 2, 64, 8, 128
-    keys = jax.random.split(jax.random.PRNGKey(5), 3)
-    q = _rand(keys[0], (B, T, K, D))
-    k = _rand(keys[1], (B, T, K, D))
-    v = _rand(keys[2], (B, T, K, D))
-    q_start = jnp.zeros((B,), jnp.int32)
-    kv_len = jnp.array([T, T - 11], jnp.int32)
-
-    import functools
-    orig = cp.chunk_attention_stats
-    cp.chunk_attention_stats = functools.partial(orig, kernels="pallas")
-    try:
-        got = cp.ring_prefill_sharded(mesh, q, k, v, q_start, kv_len)
-    finally:
-        cp.chunk_attention_stats = orig
-    want = attention_xla(q, k, v, q_start, kv_len, causal=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
-
-
 # ---------------------------------------------------------------------------
 # INT8 kv chunks (the quantized CP log, parallel/cp_cache.py — r4 #4)
 # ---------------------------------------------------------------------------
