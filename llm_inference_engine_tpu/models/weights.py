@@ -218,7 +218,7 @@ def calibrate_act_sq(config, params: Params, token_batches,
     capturing every matmul's input, and returns
     ``{"wqkv"|"wo"|"w_gate_up"|"w_down": [L, in] f32}`` — E[x_i^2] per
     layer per input dimension. Host-callback based, so it needs a backend
-    with callback support (CPU — where tools/quantize.py runs anyway).
+    with callback support (CPU — where the offline quantizer (-m llm_inference_engine_tpu.tools.quantize) runs anyway).
     """
     import tempfile
 
@@ -249,7 +249,7 @@ def calibrate_act_sq(config, params: Params, token_batches,
         if not _debug.tap.enabled:
             raise RuntimeError(
                 "calibration needs host-callback support (run on CPU: "
-                "JAX_PLATFORMS=cpu / tools/quantize.py --platform cpu)")
+                "JAX_PLATFORMS=cpu, or the quantizer CLI with --platform cpu)")
         for tb in token_batches:
             B, T = tb.shape
             cache = _kvc.new_kv_cache(L, B, config.num_kv_heads,

@@ -693,7 +693,36 @@ def _plan_blocks(m: int, n: int, k_in: int, t: QuantizedTensor,
         for cand in range(bn + 128, min(n, 8192) + 1, 128):
             if n % cand == 0 and fits(bm, cand):
                 bn = cand
+        # Decode-shaped int4 matmuls with n <= k: prefer ONE full-K step
+        # over an N-parallel grid of ~2-3 MB weight blocks. With K
+        # innermost ("arbitrary") every K step revisits the accumulator;
+        # an all-parallel grid streams each independent output tile in
+        # one shot. Measured on-chip (benchmarks/bench_matmul_plans, m=8):
+        # wo 4096x4096 bk=4096/bn=1024 -> 826 GB/s vs 692 for the
+        # bn-escalated K-grid plan; w_down 11008x4096 full-K/bn=512 ->
+        # 659 vs 641 at bn=1024. Wide-N shapes (wqkv n=3k, gate_up) keep
+        # the K-grid: the same switch measured SLOWER there (721 vs 761).
+        if (m <= 32 and t.mode == "int4" and n <= k_in
+                and k_in % t.group_size == 0):
+            wrow_f = k_in // 2
+            for bn_f in range(128, min(n, 1024) + 1, 128):
+                if (n % bn_f == 0 and n // bn_f >= 4
+                        and 1.5 * 2**20 <= wrow_f * bn_f
+                        and fits_full(bm, bn_f, wrow_f, k_in)):
+                    bn, bk = bn_f, k_in
+                    gb = k_in // t.group_size
+                    wrow = wrow_f
+                    break
     return (bm, bn, bk) if feasible and fits(bm, bn) else None
+
+
+def fits_full(bm_c, bn_c, wrow_f, k_f):
+    """VMEM check for a single-full-K-step plan (same budget model as
+    _plan_blocks.fits, with the weight block at full K)."""
+    return (2 * wrow_f * bn_c + 2 * (wrow_f * 2 // 128) * bn_c * 4
+            + 2 * bm_c * k_f * 2
+            + 2 * bm_c * bn_c * 2
+            + 2 * bm_c * bn_c * 4) <= 14 * 1024 * 1024
 
 
 def _pad_rows8(x2):

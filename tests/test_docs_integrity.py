@@ -36,6 +36,107 @@ def _tracked_files():
             if Path(p).name not in _EXTERNAL]
 
 
+def _sections(text):
+    """Split a markdown file into (heading, body) sections."""
+    parts = re.split(r"^(#{1,3} .*)$", text, flags=re.M)
+    out = []
+    for i in range(1, len(parts), 2):
+        out.append((parts[i], parts[i] + "\n" + parts[i + 1]))
+    if parts and parts[0].strip():
+        out.insert(0, ("<preamble>", parts[0]))
+    return out
+
+
+_LOG_CITE = re.compile(r"\b(docs/[A-Za-z0-9_.\-]+\.(?:log|json))\b")
+# NNN tok/s or N,NNN tok/s — skip approximations marked with ~
+_TOKS = re.compile(r"(?<![~±])\b(\d[\d,]*)\s*tok/s")
+# perf-table rows "| ... NNN | 0.NN |" (tok/s + ratio cells)
+_TABLE_ROW = re.compile(r"\|\s*([\d,]+)\s*\|\s*(0\.\d{2})\s*\|")
+# percentage claims "name NN[.N]%" — "~NN%" / "±NN%" are approximations
+# and exempt; ranges "NN-NN%" are checked at both endpoints
+_PEROP = re.compile(r"\b([a-z_][a-z0-9_]+)\s+(?<![~±\d-])(\d+(?:\.\d)?)%")
+_PCT_RANGE = re.compile(r"(?<![~±])\b(\d+)\s*-\s*(\d+)%")
+
+
+def _log_numbers(log_text):
+    toks = {round(float(m.group(1).replace(",", "")))
+            for m in re.finditer(r"([\d,]+(?:\.\d+)?)\s*tok/s", log_text)}
+    toks |= {round(float(m.group(1)))
+             for m in re.finditer(r'"value":\s*([\d.]+)', log_text)}
+    perop = {}
+    for m in re.finditer(r"^\s*([a-z_][a-z0-9_]+)\s.*?roof\s+(\d+\.\d)%",
+                         log_text, re.M):
+        perop.setdefault(m.group(1), set()).add(m.group(2))
+    for m in re.finditer(r"(\d+\.\d)%", log_text):
+        perop.setdefault(None, set()).add(m.group(1))
+    ratios = {f"{float(m.group(1)):.2f}" for m in re.finditer(
+        r'"vs_baseline":\s*([\d.]+)', log_text)}
+    ratios |= {m.group(1) for m in re.finditer(r"\b(0\.\d{2,4})\b",
+                                               log_text)}
+    ratios = {r[:4] for r in ratios}
+    return toks, perop, ratios
+
+
+def test_perf_claims_traceable_to_cited_logs():
+    """VERDICT r4 weak #1: docs quoted per-op percentages and tok/s values
+    that the committed log did not contain. Any section of README.md or
+    docs/*.md that cites a docs/*.log|json must only quote (a) tok/s
+    values, (b) per-op "name NN.N%" pairs, and (c) |0.NN| ratio cells
+    that literally appear in (one of) the cited files. Approximations
+    must be written with ~ or ± to be exempt."""
+    targets = [REPO / "README.md"] + sorted((REPO / "docs").glob("*.md"))
+    bad = []
+    for f in targets:
+        if not f.exists() or f.name in _EXTERNAL:
+            continue
+        for heading, body in _sections(f.read_text(errors="replace")):
+            logs = [REPO / m.group(1) for m in _LOG_CITE.finditer(body)]
+            logs = [p for p in logs if p.exists()]
+            if not logs:
+                continue
+            toks, perop, ratios = set(), {}, set()
+            for p in logs:
+                t, po, ra = _log_numbers(p.read_text(errors="replace"))
+                toks |= t
+                for k, v in po.items():
+                    perop.setdefault(k, set()).update(v)
+                ratios |= ra
+            allp = set().union(*perop.values()) if perop else set()
+
+            def pct_backed(pct, pool):
+                if "." in pct:
+                    return pct in pool
+                return any(round(float(p)) == int(pct) for p in pool)
+
+            for m in _TOKS.finditer(body):
+                v = round(float(m.group(1).replace(",", "")))
+                if not any(abs(v - t) <= 1 for t in toks):
+                    bad.append(f"{f.name} [{heading.strip()}]: "
+                               f"'{m.group(0)}' not in cited logs")
+            for m in _TABLE_ROW.finditer(body):
+                v = round(float(m.group(1).replace(",", "")))
+                if not any(abs(v - t) <= 1 for t in toks):
+                    bad.append(f"{f.name} [{heading.strip()}]: table "
+                               f"tok/s '{m.group(1)}' not in cited logs")
+                if m.group(2) not in ratios:
+                    bad.append(f"{f.name} [{heading.strip()}]: table "
+                               f"ratio '{m.group(2)}' not in cited logs")
+            for m in _PEROP.finditer(body):
+                name, pct = m.group(1), m.group(2)
+                pool = perop.get(name, allp) if name in perop else allp
+                if not pct_backed(pct, pool):
+                    bad.append(f"{f.name} [{heading.strip()}]: "
+                               f"'{m.group(0)}' not in cited logs")
+            for m in _PCT_RANGE.finditer(body):
+                for pct in (m.group(1), m.group(2)):
+                    if not pct_backed(pct, allp):
+                        bad.append(f"{f.name} [{heading.strip()}]: range "
+                                   f"endpoint '{pct}%' not in cited logs")
+    assert not bad, (
+        "performance claims must be traceable to the committed log they "
+        "cite (write approximations with ~ or ±):\n  " + "\n  ".join(bad))
+
+
 def test_cited_repo_paths_exist():
     missing = []
     for f in _tracked_files():

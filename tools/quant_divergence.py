@@ -223,7 +223,7 @@ def calibrate_subprocess(args, out_path: str) -> bool:
     """Run the activation-stat calibration (models.weights.calibrate_act_sq
     — the real fp forward with debug taps) in a JAX_PLATFORMS=cpu
     subprocess: host callbacks do not work over the axon TPU tunnel, and
-    quantization-side calibration is a CPU pass anyway (tools/quantize.py
+    quantization-side calibration is a CPU pass anyway (the quantizer CLI
     --platform cpu). Writes {wqkv,wo,w_gate_up,w_down}: [L, in] to
     ``out_path``. Returns False (-> uniform-MSE clipping) on failure."""
     import subprocess
