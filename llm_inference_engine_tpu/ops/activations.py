@@ -73,11 +73,16 @@ def silu_and_mul(gate_up: jax.Array, *, kernels: str = "auto") -> jax.Array:
     elementwise math is ~0.5 MB and the launch costs ~12 us/layer
     (profiled on chip, docs/profile_decode_r04.log — ~5% of the whole
     decode step), while XLA fuses the slice+silu+mul into neighbors for
-    free. Same policy and threshold as ops/rope.py's decode fallback."""
+    free. Prefill-sized token counts skip it too: measured on v5e (r5,
+    [tokens, 22016] bf16), Pallas 931/3649 us vs XLA 791/3107 us at
+    4096/16384 tokens — the two strided gate/up view-DMAs lose to XLA's
+    fused slice+silu+mul, and XLA additionally fuses into neighboring
+    elementwise ops in the real layer. The Pallas kernel keeps only the
+    mid-range where it measured faster (516 vs 593 us at 1024 tokens)."""
     tokens = 1
     for d in gate_up.shape[:-1]:
         tokens *= d
-    if not use_pallas(kernels) or tokens <= 64:
+    if not use_pallas(kernels) or tokens <= 64 or tokens >= 2048:
         return silu_and_mul_xla(gate_up)
     shape = gate_up.shape
     x2 = gate_up.reshape(-1, shape[-1])

@@ -16,28 +16,23 @@ Capability parity with:
 
 TPU design: the packed-qkv *split* is an XLA slice (zero-copy view into the
 projection output — the reference needed a kernel for it only because it
-also re-inserted padding); the *rotation* is a Pallas kernel gridded over
-(token block, head) so all in-kernel math stays 2-D [rows, head_dim]
-(Mosaic has no general N-D shape casts). cos/sin are computed by XLA from
-the integer positions and streamed into the kernel as [T, half] inputs:
-Mosaic's in-kernel sin/cos lose precision in range reduction at large
-angles (position ~30k → ~0.25 output error, caught on real hardware by
-benchmarks/validate_tpu.py), while XLA's match the golden exactly. No
+also re-inserted padding); the *rotation* is XLA elementwise math that
+fuses into the surrounding split/reshape (a Pallas rotation kernel was
+measured strictly slower at every shape and deleted in r5 — see
+:func:`apply_rope`). cos/sin are computed from the integer positions by
+a Cody-Waite modular reconstruction (see :func:`_rope_cos_sin`): plain
+f32 trig loses ~5e-2 of range-reduction precision at position ~30k,
+caught on real hardware by benchmarks/validate_tpu.py. No
 [max_seq, dim] table lives in HBM — cos/sin are fused per call.
 """
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-from llm_inference_engine_tpu.utils import cdiv, pallas_interpret, use_pallas
 
 __all__ = ["apply_rope", "apply_rope_xla", "split_qkv_rope", "split_qkv_rope_xla"]
 
@@ -125,72 +120,24 @@ def apply_rope_xla(x: jax.Array, positions: jax.Array, theta: float = 10000.0,
     return _rotate(x, cos[..., None, :], sin[..., None, :])
 
 
-# ---------------------------------------------------------------------------
-# Pallas kernel: rotation over [T, N_heads, D], gridded (token block, head)
-# ---------------------------------------------------------------------------
-
-def _rope_kernel(cos_ref, sin_ref, x_ref, o_ref, *, head_dim):
-    half = head_dim // 2
-    x = x_ref[0]                                         # [rows, D]
-
-    # cos/sin arrive precomputed by XLA: Mosaic's in-kernel sin/cos lose
-    # precision in range reduction at large angles (position ~30k →
-    # ~0.25 output error, caught by validate_tpu.py on hardware), while
-    # XLA's transcendentals reduce properly and match the golden exactly.
-    cos = cos_ref[:]                                     # [rows, half]
-    sin = sin_ref[:]
-
-    x1 = x[:, :half].astype(jnp.float32)
-    x2 = x[:, half:].astype(jnp.float32)
-    o = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=1)
-    o_ref[0] = o.astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("theta", "scaling", "block_rows", "interpret"))
-def _apply_rope_pallas(x, positions, theta, scaling, block_rows, interpret):
-    """x: [n_heads, T, D] (head-major so blocks are (1, bt, D) — legal TPU
-    tiles for any head count)."""
-    n_heads, tokens, head_dim = x.shape
-    half = head_dim // 2
-    grid = (n_heads, cdiv(tokens, block_rows))
-    # Same cos/sin as the XLA golden (see _rope_kernel for why).
-    cos, sin = _rope_cos_sin(positions, head_dim, theta, scaling)
-    kern = functools.partial(_rope_kernel, head_dim=head_dim)
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, half), lambda h, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, half), lambda h, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rows, head_dim), lambda h, i: (h, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_rows, head_dim),
-                               lambda h, i: (h, i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(cos, sin, x)
-
-
 def apply_rope(x, positions, theta: float = 10000.0,
                scaling: float | None = None, *, kernels: str = "auto"):
-    """RoPE on x: [..., S, H, D] at integer positions [..., S]."""
-    if not use_pallas(kernels):
-        return apply_rope_xla(x, positions, theta, scaling)
-    lead = x.shape[:-2]
-    n_heads, head_dim = x.shape[-2], x.shape[-1]
-    x3 = x.reshape(-1, n_heads, head_dim).transpose(1, 0, 2)  # [H, T, D]
-    p1 = positions.reshape(-1).astype(jnp.int32)
-    tokens = x3.shape[1]
-    block = tokens if tokens <= 1024 else 1024
-    out = _apply_rope_pallas(x3, p1, float(theta), scaling, block,
-                             pallas_interpret())
-    return out.transpose(1, 0, 2).reshape(*lead, n_heads, head_dim)
+    """RoPE on x: [..., S, H, D] at integer positions [..., S].
+
+    XLA at every shape (the ``kernels`` knob is accepted for API symmetry
+    with the other ops and ignored). A Pallas rotation kernel existed
+    through r4; head-count-agnostic tiling forced it head-major, so the
+    dispatch paid two physical [T, H, D] <-> [H, T, D] transposes around
+    a trivially bandwidth-bound rotation. Measured on v5e (r5,
+    split_qkv_rope at Llama2-7B prefill shapes, B=8): Pallas
+    497/1488/5847 us vs XLA 413/581/2088 us at T=128/512/2048 — XLA won
+    at every size (2.6x at T=512), and inside the layer it additionally
+    fuses the rotation into the surrounding split/reshape. The kernel
+    was deleted rather than gated: a kernel the dispatch can never pick
+    is dead weight (same adjudication as the r4 CP flash-partials
+    kernel)."""
+    del kernels
+    return apply_rope_xla(x, positions, theta, scaling)
 
 
 # ---------------------------------------------------------------------------
@@ -231,22 +178,12 @@ def split_qkv_rope_xla(qkv, positions, num_heads: int, num_kv_heads: int,
 def split_qkv_rope(qkv, positions, num_heads: int, num_kv_heads: int,
                    head_dim: int, theta: float = 10000.0,
                    scaling: float | None = None, *, kernels: str = "auto"):
-    """QKV split (XLA view) + Pallas RoPE on q and k.
+    """QKV split (XLA zero-copy view) + XLA RoPE on q and k.
 
     qkv: [..., T, K*(G+2)*D] group-major; positions: [..., T].
+    XLA at every token count — see :func:`apply_rope` for the r5
+    measurement that retired the Pallas rotation kernel.
     """
-    # Decode-sized token counts: the rotation is a few KB of elementwise
-    # math — two Pallas launches cost ~5 us/layer of pure invocation
-    # overhead (profiled at B*T=8), while XLA fuses the rotation into the
-    # surrounding split/reshape for free. The Pallas kernel pays off once
-    # the token block amortizes the launch.
-    tokens = 1
-    for d in qkv.shape[:-1]:
-        tokens *= d
-    if not use_pallas(kernels) or tokens <= 64:
-        return split_qkv_rope_xla(qkv, positions, num_heads, num_kv_heads,
-                                  head_dim, theta, scaling)
-    q, k, v = _split_grouped(qkv, num_heads, num_kv_heads, head_dim)
-    q = apply_rope(q, positions, theta, scaling, kernels=kernels)
-    k = apply_rope(k, positions, theta, scaling, kernels=kernels)
-    return q, k, v
+    del kernels
+    return split_qkv_rope_xla(qkv, positions, num_heads, num_kv_heads,
+                              head_dim, theta, scaling)
