@@ -113,7 +113,7 @@ def main():
     print(f"# bench_decode_attn_blocks — 7B MHA K={K} D={D} L={L} "
           f"(rtt={rtt*1e3:.2f}ms subtracted)", flush=True)
     for B in batches:
-        for bk in (128, 256, 512):
+        for bk in (32, 64, 96, 128, 256):
             bench(B, ctx, bk)
 
 
